@@ -1,0 +1,39 @@
+"""offt-tpu: a TPU-native auto-tuned distributed FFT framework.
+
+Re-expression of the capabilities of UMD's OFFT (rchyena/offt: auto-tuned
+parallel 3-D FFT over a 2-D pencil MPI decomposition with comm/compute
+overlap and an Active Harmony tuner) as an idiomatic JAX/XLA/Pallas library:
+
+- local 1-D transforms: mixed-radix MXU-matmul stages (:mod:`offt_tpu.kernels`)
+- distribution: ``jax.sharding.Mesh`` + ``shard_map`` + ``lax.all_to_all``
+  slab/pencil plans (:mod:`offt_tpu.dist`)
+- plans & tuning: discrete parameter space + strategies + persistent plan
+  cache (:mod:`offt_tpu.plan`, :mod:`offt_tpu.tune`)
+"""
+
+__version__ = "0.1.0"
+
+from .kernels import fft_1d
+from .plan.api import (
+    Plan,
+    fft3d,
+    from_planar,
+    ifft3d,
+    irfft3d,
+    plan,
+    rfft3d,
+    to_planar,
+)
+
+__all__ = [
+    "Plan",
+    "fft3d",
+    "from_planar",
+    "ifft3d",
+    "rfft3d",
+    "irfft3d",
+    "plan",
+    "fft_1d",
+    "to_planar",
+    "__version__",
+]

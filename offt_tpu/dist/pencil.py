@@ -1,0 +1,224 @@
+"""Distributed 3-D FFT over a (p1, p2) mesh: the pencil dataflow.
+
+TPU re-expression of the reference's two-phase overlap engine
+(/root/reference/offt-compute.c:3501-3862 ``offt_3d_execute_phase{1,2}`` and
+the four pack/a2a/unpack kernels, offt-compute.c:905-2993):
+
+    z-pencils (x/p1, y/p2, z)   --fft_z-->
+      --[phase 1: all_to_all over COL, z<->y]-->
+    y-pencils (x/p1, y, z/p2)   --fft_y-->
+      --[phase 2: all_to_all over ROW, y<->x]-->
+    x-pencils (x, y/p1, z/p2)   --fft_x-->   transposed-out layout
+
+Differences from the reference, by design (SURVEY.md §5 "Distributed
+communication backend"):
+
+- MPI groups/Ialltoallv/MPI_Test progress -> named-axis collectives under
+  ``jax.shard_map``; DMA progress is hardware, so the 8 F* knobs vanish.
+- pack/unpack memcpy nests -> nothing: GSPMD + XLA layout assignment own
+  data movement; what remains tunable is the *pipeline*: each phase is
+  chunked into t1/t2 slices whose per-slice collectives XLA's async
+  scheduler overlaps with neighbouring slices' local transforms (the
+  reference's T/W tiling, offt.h:74-79).
+- the S knob becomes the transpose strategy: one fused all_to_all (s=0) or
+  a ring of collective_permutes (s=1) that decomposes the exchange into
+  p-1 single-hop steps, each overlappable.
+
+The same machinery runs forward and inverse (mirror-symmetric pipeline) and
+slab decompositions (p1 == 1 or p2 == 1 make one phase's collective
+trivial, the analogue of METHOD ONE / METHOD OLD, offt-compute.c:3896-3998).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..kernels.stockham import fft_1d
+from ..plan.params import TRANSPOSE_PPERMUTE, PlanParams
+from .mesh import COL, ROW, mesh_shape
+
+
+def _ring_all_to_all(x, axis_name: str, split_axis: int, concat_axis: int, size: int):
+    """all_to_all decomposed into a ring of single-hop collective_permutes.
+
+    Equivalent to ``lax.all_to_all(tiled=True)`` but each of the size-1 hops
+    is an independent collective the scheduler can overlap with compute
+    (the explicit-overlap fallback of SURVEY.md §7 step 4).
+    """
+    if size == 1:
+        return x
+    me = lax.axis_index(axis_name)
+    chunk = x.shape[split_axis] // size
+    out_shape = list(x.shape)
+    out_shape[split_axis] = chunk
+    out_shape[concat_axis] = x.shape[concat_axis] * size
+
+    def piece(dst_idx):
+        return lax.dynamic_slice_in_dim(x, dst_idx * chunk, chunk, split_axis)
+
+    out = jnp.zeros(out_shape, x.dtype)
+    own = piece(me)
+    out = lax.dynamic_update_slice_in_dim(
+        out, own, me * x.shape[concat_axis], concat_axis
+    )
+    for s in range(1, size):
+        dst = (me + s) % size
+        src = (me - s) % size
+        perm = [(i, (i + s) % size) for i in range(size)]
+        recv = lax.ppermute(piece(dst), axis_name, perm)
+        out = lax.dynamic_update_slice_in_dim(
+            out, recv, src * x.shape[concat_axis], concat_axis
+        )
+    return out
+
+
+def _transpose(x, axis_name: str, split_axis: int, concat_axis: int,
+               size: int, strategy: int):
+    if size == 1:
+        return x
+    if strategy == TRANSPOSE_PPERMUTE:
+        return _ring_all_to_all(x, axis_name, split_axis, concat_axis, size)
+    return lax.all_to_all(x, axis_name, split_axis, concat_axis, tiled=True)
+
+
+def _chunk_bounds(n: int, t: int) -> list[tuple[int, int]]:
+    """Split range(n) into t near-equal contiguous chunks (static)."""
+    t = max(1, min(t, n))
+    base, rem = divmod(n, t)
+    bounds = []
+    start = 0
+    for i in range(t):
+        size = base + (1 if i < rem else 0)
+        bounds.append((start, start + size))
+        start += size
+    return bounds
+
+
+def pencil_pipeline(
+    xl: jax.Array,
+    *,
+    a_first: int,
+    a_mid: int,
+    a_last: int,
+    name1: str,
+    size1: int,
+    name2: str,
+    size2: int,
+    params: PlanParams,
+    inverse: bool,
+    rad_first=None,
+    rad_mid=None,
+    rad_last=None,
+    first_fn: Optional[Callable] = None,
+    last_fn: Optional[Callable] = None,
+):
+    """The two-phase chunked pipeline on one device's shard (inside shard_map).
+
+    Forward c2c:  a_first=z, a_mid=y, a_last=x, name1=COL, name2=ROW.
+    Inverse c2c:  a_first=x, a_mid=y, a_last=z, name1=ROW, name2=COL.
+    ``first_fn``/``last_fn`` override the local transform on the first/last
+    axis (used for r2c/c2r folding).
+    """
+    do_first = first_fn or (lambda c: fft_1d(c, axis=a_first, inverse=inverse,
+                                             radices=rad_first))
+    do_last = last_fn or (lambda c: fft_1d(c, axis=a_last, inverse=inverse,
+                                           radices=rad_last))
+    do_mid = lambda c: fft_1d(c, axis=a_mid, inverse=inverse, radices=rad_mid)
+
+    # ---- phase 1: chunk along a_last; fft(a_first) + exchange a_first<->a_mid
+    n_last_local = xl.shape[a_last]
+    phase1_chunks = []
+    for lo, hi in _chunk_bounds(n_last_local, params.t1):
+        c = lax.slice_in_dim(xl, lo, hi, axis=a_last)
+        c = do_first(c)
+        c = _transpose(c, name1, split_axis=a_first, concat_axis=a_mid,
+                       size=size1, strategy=params.s1)
+        phase1_chunks.append(c)
+    mid = jnp.concatenate(phase1_chunks, axis=a_last) if len(phase1_chunks) > 1 \
+        else phase1_chunks[0]
+
+    # ---- mid-axis transform split between phases (reference Ry, offt.h:94):
+    # first ry/10 of the a_last rows get their mid-axis fft "in phase 1".
+    n_rows = mid.shape[a_last]
+    rx = (n_rows * params.ry + 9) // 10 if params.ry < 10 else n_rows
+    if rx > 0:
+        head = lax.slice_in_dim(mid, 0, rx, axis=a_last)
+        head = do_mid(head)
+        if rx < n_rows:
+            tail = lax.slice_in_dim(mid, rx, n_rows, axis=a_last)
+            mid = jnp.concatenate([head, tail], axis=a_last)
+        else:
+            mid = head
+
+    # ---- phase 2: chunk along a_first; finish fft(a_mid) on pending rows,
+    # exchange a_mid<->a_last, fft(a_last)
+    n_first_local = mid.shape[a_first]
+    out_chunks = []
+    for lo, hi in _chunk_bounds(n_first_local, params.t2):
+        c = lax.slice_in_dim(mid, lo, hi, axis=a_first)
+        if rx < n_rows:
+            done = lax.slice_in_dim(c, 0, rx, axis=a_last)
+            pend = lax.slice_in_dim(c, rx, n_rows, axis=a_last)
+            pend = do_mid(pend)
+            c = jnp.concatenate([done, pend], axis=a_last)
+        c = _transpose(c, name2, split_axis=a_mid, concat_axis=a_last,
+                       size=size2, strategy=params.s2)
+        c = do_last(c)
+        out_chunks.append(c)
+    return (jnp.concatenate(out_chunks, axis=a_first)
+            if len(out_chunks) > 1 else out_chunks[0])
+
+
+def _spatial_axes(ndim: int) -> tuple[int, int, int]:
+    return ndim - 3, ndim - 2, ndim - 1
+
+
+def make_pencil_fft3d(
+    mesh,
+    ndim: int,
+    params: PlanParams,
+    inverse: bool = False,
+    rad_z=None,
+    rad_y=None,
+    rad_x=None,
+    first_fn: Optional[Callable] = None,
+    last_fn: Optional[Callable] = None,
+    first_fn_out_len: Optional[int] = None,
+):
+    """Build the shard_map'd distributed transform for arrays of rank ndim
+    (leading ndim-3 dims are replicated batch). Returns a traceable fn.
+
+    Forward maps z-pencil input P(ROW, COL, None) to transposed-out
+    P(None, ROW, COL); inverse maps the reverse.
+    """
+    p1, p2 = mesh_shape(mesh)
+    ax, ay, az = _spatial_axes(ndim)
+    batch = (None,) * (ndim - 3)
+    in_spec = P(*batch, ROW, COL, None) if not inverse else P(*batch, None, ROW, COL)
+    out_spec = P(*batch, None, ROW, COL) if not inverse else P(*batch, ROW, COL, None)
+
+    def local_fn(xl):
+        if not inverse:
+            return pencil_pipeline(
+                xl, a_first=az, a_mid=ay, a_last=ax,
+                name1=COL, size1=p2, name2=ROW, size2=p1,
+                params=params, inverse=False,
+                rad_first=rad_z, rad_mid=rad_y, rad_last=rad_x,
+                first_fn=first_fn, last_fn=last_fn,
+            )
+        return pencil_pipeline(
+            xl, a_first=ax, a_mid=ay, a_last=az,
+            name1=ROW, size1=p1, name2=COL, size2=p2,
+            params=params, inverse=True,
+            rad_first=rad_x, rad_mid=rad_y, rad_last=rad_z,
+            first_fn=first_fn, last_fn=last_fn,
+        )
+
+    return jax.shard_map(local_fn, mesh=mesh, in_specs=in_spec,
+                         out_specs=out_spec, check_vma=False)

@@ -1,0 +1,118 @@
+"""DFT matrices, twiddle factors, and radix factorization.
+
+TPU-native design note: the reference (rchyena/offt) computes local 1-D
+transforms with FFTW plans (offt-compute.c:329-489 ``setup_p1d``). On TPU the
+idiomatic equivalent is the *four-step / mixed-radix* factorization where each
+small-radix DFT is a dense matmul on the MXU: for N = N1*N2,
+
+    X[k1 + N1*k2] = sum_n2 W_N2^(n2*k2) * [ W_N^(n2*k1) * sum_n1 x[n1*N2 + n2] * W_N1^(n1*k1) ]
+
+so a length-N transform becomes a chain of (radix x radix) matmuls plus
+elementwise twiddle multiplies -- exactly the MXU + VPU split the hardware
+wants. All constant tables (DFT matrices, twiddles) are generated here in
+float64 numpy and cast to the target dtype so fp32 transforms keep ~1e-7
+twiddle accuracy even at N = 2^20.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+# Largest radix we realize as a dense DFT matmul. 128 matches the MXU tile
+# edge; radices beyond this would blow up FLOPs (cost per element ~ radix).
+MAX_RADIX = 128
+
+
+def _prime_factors(n: int) -> list[int]:
+    """Prime factorization of n (ascending)."""
+    fs = []
+    d = 2
+    while d * d <= n:
+        while n % d == 0:
+            fs.append(d)
+            n //= d
+        d += 1 if d == 2 else 2
+    if n > 1:
+        fs.append(n)
+    return fs
+
+
+@functools.lru_cache(maxsize=None)
+def factorize(n: int, max_radix: int = MAX_RADIX) -> tuple[int, ...]:
+    """Factor n into a tuple of radices, each <= max_radix, product == n.
+
+    Greedy: repeatedly peel off the largest divisor <= max_radix. Primes above
+    max_radix are left in the list (the caller falls back to Bluestein for
+    those). This is the *default* factorization; the tuner may override it
+    (the reference's analogous knob is the FFTW plan rigor + our new radix
+    knob, SURVEY.md 2c "TPU mapping note").
+    """
+    if n <= 0:
+        raise ValueError(f"FFT length must be positive, got {n}")
+    if n == 1:
+        return (1,)
+    primes = _prime_factors(n)
+    big = [p for p in primes if p > max_radix]
+    rest = [p for p in primes if p <= max_radix]
+    radices: list[int] = []
+    cur = 1
+    # pack primes (largest first) into radices <= max_radix
+    for p in sorted(rest, reverse=True):
+        if cur * p <= max_radix:
+            cur *= p
+        else:
+            radices.append(cur)
+            cur = p
+    if cur > 1:
+        radices.append(cur)
+    radices.extend(big)
+    return tuple(sorted(radices, reverse=True))
+
+
+def validate_factorization(n: int, radices: tuple[int, ...]) -> tuple[int, ...]:
+    """Check a user/tuner-supplied radix list: product == n, each <= MAX_RADIX."""
+    prod = 1
+    for r in radices:
+        prod *= r
+    if prod != n:
+        raise ValueError(f"radices {radices} do not multiply to {n}")
+    return tuple(radices)
+
+
+def is_supported_size(n: int, max_radix: int = MAX_RADIX) -> bool:
+    """True if n factors entirely into radices <= max_radix (no Bluestein)."""
+    return all(r <= max_radix for r in factorize(n, max_radix))
+
+
+def dft_matrix(n: int, dtype, inverse: bool = False) -> np.ndarray:
+    """Dense DFT matrix in the requested complex dtype (no 1/n scaling)."""
+    k = np.arange(n, dtype=np.float64)
+    kj = np.mod(np.outer(k, k), float(n))
+    ang = (2.0 * math.pi / n) * kj
+    m = np.cos(ang) + (1j if inverse else -1j) * np.sin(ang)
+    return m.astype(dtype)
+
+
+def twiddles(n1: int, n2: int, dtype, inverse: bool = False) -> np.ndarray:
+    """Four-step twiddle table T[k1, n2] = exp(-+2i pi k1 n2 / (n1 n2))."""
+    n = n1 * n2
+    k1 = np.arange(n1, dtype=np.float64)
+    j2 = np.arange(n2, dtype=np.float64)
+    kj = np.mod(np.outer(k1, j2), float(n))
+    ang = (2.0 * math.pi / n) * kj
+    t = np.cos(ang) + (1j if inverse else -1j) * np.sin(ang)
+    return t.astype(dtype)
+
+
+def flops_per_length(n: int, radices: tuple[int, ...] | None = None) -> int:
+    """Complex MAC count per length-n transform under a radix factorization.
+
+    Used by the roofline calculator and the tuner's cost model. A radix-r
+    stage costs r complex MACs per element (dense matmul), so total =
+    n * sum(radices) complex MACs ~= 8 * n * sum(radices) real FLOPs.
+    """
+    rs = radices or factorize(n)
+    return n * sum(rs)

@@ -1,0 +1,318 @@
+"""Public plan / execute API.
+
+The reference's lifecycle (offt.h:236-244) is
+
+    offt_3d_init(Nx,Ny,Nz,...)  ->  offt_3d_execute(plan,in,out)  ->  offt_3d_fin
+
+Here a :class:`Plan` is an immutable description + a jitted executable; there
+is nothing to finalize (XLA owns buffers). ``plan()`` consults the persistent
+best-plan cache, falls back to the heuristic default point
+(params.default_params, the analogue of offt-compute.c:3127 params_set_default),
+and jit-compiles the pipeline with pinned input/output shardings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..dist import mesh as meshlib
+from ..dist.pencil import make_pencil_fft3d
+from ..kernels.rfft import irfft_1d, rfft_1d
+from ..kernels.stockham import _as_complex_dtype, fft_1d
+from . import cache
+from .params import PlanParams, ProblemSpec, default_params, infeasible_reason
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+# ---- planar complex boundary --------------------------------------------
+# Some TPU runtimes (and all Pallas kernels) have no complex dtype at the
+# host<->device boundary; complex values may exist only *inside* a jitted
+# computation. A "planar" array is the pair (real, imag) of float arrays.
+
+def to_planar(x) -> tuple:
+    """Split a complex array into the planar (real, imag) float pair."""
+    x = jnp.asarray(x)
+    return (jnp.real(x), jnp.imag(x))
+
+
+def from_planar(re, im):
+    """Combine a planar pair into a complex array (trace-time only on TPU)."""
+    re = jnp.asarray(re)
+    return jax.lax.complex(re, jnp.asarray(im).astype(re.dtype))
+
+
+def _planarize(fn, in_planar: bool, out_planar: bool):
+    """Wrap a complex->complex fn with planar input/output conversion."""
+    if not in_planar and not out_planar:
+        return fn
+
+    def _post(y):
+        if out_planar and jnp.iscomplexobj(y):
+            return jnp.real(y), jnp.imag(y)
+        return y
+
+    if in_planar:
+        def wrapped(re, im):
+            return _post(fn(jax.lax.complex(re, im)))
+    else:
+        def wrapped(x):
+            return _post(fn(x))
+
+    return wrapped
+
+
+def _local_fft3d(x, inverse: bool, real: bool, nz: int, params: PlanParams):
+    """Single-device 3-D transform: three axis passes, XLA fuses layouts."""
+    ax, ay, az = x.ndim - 3, x.ndim - 2, x.ndim - 1
+    if not inverse:
+        if real:
+            x = rfft_1d(x, axis=az, radices=params.radix_z)
+        else:
+            x = fft_1d(x, axis=az, radices=params.radix_z)
+        x = fft_1d(x, axis=ay, radices=params.radix_y)
+        return fft_1d(x, axis=ax, radices=params.radix_x)
+    x = fft_1d(x, axis=ax, inverse=True, radices=params.radix_x)
+    x = fft_1d(x, axis=ay, inverse=True, radices=params.radix_y)
+    if real:
+        return irfft_1d(x, n=nz, axis=az, radices=params.radix_z)
+    return fft_1d(x, axis=az, inverse=True, radices=params.radix_z)
+
+
+@dataclasses.dataclass
+class Plan:
+    """A compiled 3-D FFT plan (forward or inverse, c2c or r2c)."""
+
+    spec: ProblemSpec
+    params: PlanParams
+    mesh: Optional[jax.sharding.Mesh]
+    ndim: int
+    _fn: callable = dataclasses.field(repr=False)
+    planar: bool = False
+    _in_planar: bool = False
+
+    def __call__(self, x, x_imag=None):
+        if self._in_planar:
+            if x_imag is None:
+                x, x_imag = x  # accept a (re, im) pair as one argument
+            return self._fn(x, x_imag)
+        return self._fn(x)
+
+    execute = __call__
+
+    @property
+    def input_sharding(self):
+        if self.mesh is None:
+            return None
+        return (meshlib.output_sharding(self.mesh, self.ndim)
+                if self.spec.inverse
+                else meshlib.input_sharding(self.mesh, self.ndim))
+
+    @property
+    def output_sharding(self):
+        if self.mesh is None:
+            return None
+        return (meshlib.input_sharding(self.mesh, self.ndim)
+                if self.spec.inverse
+                else meshlib.output_sharding(self.mesh, self.ndim))
+
+    def lower(self, x_shape_dtype):
+        return jax.jit(self._fn).lower(x_shape_dtype)
+
+
+def _validate_divisibility(spec: ProblemSpec, params: PlanParams, p1: int, p2: int):
+    nx, ny, nz = spec.shape
+    nzt = spec.nz_freq
+    if nx % p1 != 0:
+        raise ValueError(f"Nx={nx} not divisible by p1={p1} (padding lands in v1)")
+    if ny % (p1 * p2) != 0:
+        # y is split by p2 on input and by p1 on output
+        raise ValueError(f"Ny={ny} must be divisible by p1*p2={p1 * p2}")
+    if not spec.real and nzt % p2 != 0:
+        raise ValueError(f"Nz={nz} not divisible by p2={p2}")
+
+
+def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int):
+    """Build the (untraced) transform fn. Returns (fn, in_shard, out_shard);
+    shardings are None when unconstrained."""
+    nx, ny, nz = spec.shape
+    az = ndim - 1
+    nzf = nz // 2 + 1
+
+    if mesh is None:
+        def fn(x):
+            return _local_fft3d(x, spec.inverse, spec.real, nz, params)
+        return fn, None, None
+
+    p1, p2 = meshlib.mesh_shape(mesh)
+    _validate_divisibility(spec, params, p1, p2)
+
+    if not spec.real:
+        sm = make_pencil_fft3d(
+            mesh, ndim, params, inverse=spec.inverse,
+            rad_z=params.radix_z, rad_y=params.radix_y, rad_x=params.radix_x,
+        )
+        in_shard = (meshlib.output_sharding(mesh, ndim) if spec.inverse
+                    else meshlib.input_sharding(mesh, ndim))
+        out_shard = (meshlib.input_sharding(mesh, ndim) if spec.inverse
+                     else meshlib.output_sharding(mesh, ndim))
+
+        def fn(x):
+            x = x.astype(_as_complex_dtype(x.dtype))
+            return sm(x)
+
+        return fn, in_shard, out_shard
+
+    # ---- r2c / c2r: Nz/2+1 frequency bins rarely divide p2 -> pad the
+    # frequency axis to a p2 multiple inside the pipeline (the padded-shard
+    # answer to the reference's A2AV uneven counts, offt.h:109-125).
+    nzfp = _ceil_to(nzf, p2)
+
+    if not spec.inverse:
+        def first_fn(c):
+            c = rfft_1d(c, axis=az, radices=params.radix_z)
+            if nzfp != nzf:
+                padw = [(0, 0)] * ndim
+                padw[az] = (0, nzfp - nzf)
+                c = jnp.pad(c, padw)
+            return c
+
+        sm = make_pencil_fft3d(
+            mesh, ndim, params, inverse=False,
+            rad_y=params.radix_y, rad_x=params.radix_x, first_fn=first_fn,
+        )
+
+        def fwd(x):
+            y = sm(x)
+            if nzfp != nzf:
+                y = lax.slice_in_dim(y, 0, nzf, axis=az)
+            return y
+
+        # the sliced frequency axis (Nz//2+1) is rarely divisible by p2;
+        # only pin the transposed-out sharding when it is
+        out_shard = meshlib.output_sharding(mesh, ndim) if nzfp == nzf else None
+        return fwd, meshlib.input_sharding(mesh, ndim), out_shard
+
+    def last_fn(c):
+        if nzfp != nzf:
+            c = lax.slice_in_dim(c, 0, nzf, axis=az)
+        return irfft_1d(c, n=nz, axis=az, radices=params.radix_z)
+
+    sm = make_pencil_fft3d(
+        mesh, ndim, params, inverse=True,
+        rad_y=params.radix_y, rad_x=params.radix_x, last_fn=last_fn,
+    )
+
+    def inv(x):
+        if nzfp != nzf:
+            padw = [(0, 0)] * ndim
+            padw[az] = (0, nzfp - nzf)
+            x = jnp.pad(x, padw)
+        return sm(x)
+
+    in_shard = meshlib.output_sharding(mesh, ndim) if nzfp == nzf else None
+    return inv, in_shard, meshlib.input_sharding(mesh, ndim)
+
+
+def _jit_plan_fn(spec: ProblemSpec, raw_fn, in_shard, out_shard, planar: bool):
+    """Planarize (if requested) and jit with pinned shardings.
+
+    With ``planar=True`` complex operands/results cross the jit boundary as
+    (real, imag) float pairs — required on TPU runtimes without complex
+    transfer support, and the native layout for Pallas kernels.
+    """
+    in_planar = planar and not (spec.real and not spec.inverse)
+    out_planar = planar and not (spec.real and spec.inverse)
+    fn = _planarize(raw_fn, in_planar, out_planar)
+    kw = {}
+    if in_shard is not None:
+        kw["in_shardings"] = (in_shard, in_shard) if in_planar else in_shard
+    if out_shard is not None:
+        kw["out_shardings"] = (out_shard, out_shard) if out_planar else out_shard
+    return jax.jit(fn, **kw), in_planar
+
+
+def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
+              planar: bool = False):
+    raw_fn, in_shard, out_shard = _build_raw(spec, params, mesh, ndim)
+    return _jit_plan_fn(spec, raw_fn, in_shard, out_shard, planar)
+
+
+def plan(
+    shape: tuple[int, int, int],
+    dtype="complex64",
+    *,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    real: bool = False,
+    inverse: bool = False,
+    batch_dims: int = 0,
+    params: Optional[PlanParams] = None,
+    use_cache: bool = True,
+    planar: bool = False,
+) -> Plan:
+    """Build a 3-D FFT plan. ``shape`` is the spatial (Nx, Ny, Nz).
+
+    ``planar=True`` moves complex operands/results across the jit boundary
+    as (real, imag) float pairs — required on TPU runtimes that cannot
+    transfer complex arrays, and zero-cost otherwise (the split/combine is
+    fused by XLA).
+    """
+    if len(shape) != 3:
+        raise ValueError(f"shape must be (Nx, Ny, Nz), got {shape}")
+    p = 1 if mesh is None else mesh.devices.size
+    spec = ProblemSpec(shape=tuple(shape), dtype=str(jnp.dtype(dtype)),
+                       real=real, inverse=inverse, p=p)
+    if params is None and use_cache and mesh is not None:
+        p1, p2 = meshlib.mesh_shape(mesh)
+        dev_kind = mesh.devices.flat[0].device_kind
+        params = cache.lookup(cache.plan_key(shape, spec.dtype, real, p1, p2, dev_kind))
+    if params is None:
+        params = default_params(
+            spec, p1=None if mesh is None else meshlib.mesh_shape(mesh)[0])
+    reason = infeasible_reason(spec, params)
+    if reason is not None:
+        raise ValueError(f"infeasible plan: {reason}")
+    ndim = batch_dims + 3
+    fn, in_planar = _build_fn(spec, params, mesh, ndim, planar=planar)
+    return Plan(spec=spec, params=params, mesh=mesh, ndim=ndim, _fn=fn,
+                planar=planar, _in_planar=in_planar)
+
+
+# ---- one-shot conveniences (plans are cached per call-signature by jit) ----
+
+def fft3d(x, mesh=None, params=None, **kw):
+    nd = x.ndim
+    p = plan(x.shape[nd - 3:], x.dtype, mesh=mesh, params=params,
+             batch_dims=nd - 3, **kw)
+    return p(x)
+
+
+def ifft3d(x, mesh=None, params=None, **kw):
+    nd = x.ndim
+    p = plan(x.shape[nd - 3:], x.dtype, mesh=mesh, params=params,
+             inverse=True, batch_dims=nd - 3, **kw)
+    return p(x)
+
+
+def rfft3d(x, mesh=None, params=None, **kw):
+    nd = x.ndim
+    p = plan(x.shape[nd - 3:], x.dtype, mesh=mesh, params=params,
+             real=True, batch_dims=nd - 3, **kw)
+    return p(x)
+
+
+def irfft3d(x, nz: Optional[int] = None, mesh=None, params=None, **kw):
+    nd = x.ndim
+    nzf = x.shape[-1]
+    nz = nz if nz is not None else 2 * (nzf - 1)
+    shape = (x.shape[nd - 3], x.shape[nd - 2], nz)
+    p = plan(shape, x.dtype, mesh=mesh, params=params, real=True,
+             inverse=True, batch_dims=nd - 3, **kw)
+    return p(x)

@@ -1,0 +1,103 @@
+"""Persistent best-plan cache.
+
+Upgrade over the reference's within-run point database (tmp-db-<rand>,
+offt-tuning.c:231-277, deleted per session): plans tuned once are reusable
+across processes, keyed by (shape, dtype, transform kind, mesh shape,
+device kind). Stored as a single JSON file under OFFT_TPU_CACHE_DIR
+(default: ~/.cache/offt_tpu).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pathlib
+import tempfile
+from typing import Optional
+
+from .params import PlanParams
+
+
+def cache_dir() -> pathlib.Path:
+    d = os.environ.get("OFFT_TPU_CACHE_DIR")
+    if d:
+        return pathlib.Path(d)
+    return pathlib.Path(os.path.expanduser("~/.cache/offt_tpu"))
+
+
+def _cache_file() -> pathlib.Path:
+    return cache_dir() / "plan_cache.json"
+
+
+def plan_key(shape, dtype, real: bool, p1: int, p2: int,
+             device_kind: str = "", batch: int = 1) -> str:
+    return "|".join([
+        "x".join(map(str, shape)), str(dtype), "r2c" if real else "c2c",
+        f"{p1}x{p2}", device_kind, f"b{batch}",
+    ])
+
+
+def _load() -> dict:
+    f = _cache_file()
+    if not f.exists():
+        return {}
+    try:
+        return json.loads(f.read_text())
+    except (json.JSONDecodeError, OSError):
+        return {}
+
+
+def _params_to_json(p: PlanParams) -> dict:
+    d = dataclasses.asdict(p)
+    for k in ("radix_z", "radix_y", "radix_x"):
+        if d[k] is not None:
+            d[k] = list(d[k])
+    return d
+
+
+def _params_from_json(d: dict) -> PlanParams:
+    d = dict(d)
+    for k in ("radix_z", "radix_y", "radix_x"):
+        if d.get(k) is not None:
+            d[k] = tuple(d[k])
+    return PlanParams(**d)
+
+
+def lookup(key: str) -> Optional[PlanParams]:
+    rec = _load().get(key)
+    if rec is None:
+        return None
+    try:
+        return _params_from_json(rec["params"])
+    except (KeyError, TypeError):
+        return None
+
+
+def store(key: str, params: PlanParams, perf: float | None = None) -> None:
+    db = _load()
+    old = db.get(key)
+    if old is not None and perf is not None and old.get("perf") is not None:
+        if old["perf"] <= perf:
+            return  # keep the better plan
+    db[key] = {"params": _params_to_json(params), "perf": perf}
+    d = cache_dir()
+    d.mkdir(parents=True, exist_ok=True)
+    # atomic replace so concurrent tuners don't corrupt the cache
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(db, fh, indent=1, sort_keys=True)
+        os.replace(tmp, _cache_file())
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def clear() -> None:
+    try:
+        _cache_file().unlink()
+    except FileNotFoundError:
+        pass

@@ -1,0 +1,199 @@
+"""Plan parameters: the TPU re-expression of the reference's 24-knob space.
+
+The reference's ``struct _offt_params`` (/root/reference/offt.h:69-100) has
+24 integers: P1 (grid factor), T1/T2 (tile sizes), W1/W2 (overlap windows),
+8 pack/unpack cache sub-tile dims, 8 MPI_Test injection frequencies, Ry
+(phase work split), V (alltoallv vs padded alltoall), S (strided FFT vs
+explicit transpose). On TPU (SURVEY.md §2c "TPU mapping note"):
+
+- **P1** survives as the mesh factorization p = P1 x P2.
+- **T1/T2, W1/W2** survive as pipeline chunk counts / in-flight depth for the
+  two distributed transpose phases.
+- **S** survives as the transpose strategy (all_to_all vs ppermute ring).
+- **V** survives as exact-vs-padded shard layout (padded-only initially:
+  XLA wants static equal shapes).
+- **Ry** survives as the fraction of y-FFT work done before vs after the
+  second transpose.
+- The 8 **F\\*** MPI_Test progress knobs are *dropped*: TPU DMA progresses in
+  hardware, no manual progress calls exist. The 8 cache sub-tile dims
+  collapse into Pallas block shape knobs (BZ/BY/BX batch tiles) because XLA
+  and Mosaic own the cache hierarchy.
+- New TPU-only knobs: per-axis radix factorization and the fused-kernel
+  switch (use_pallas).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+from ..kernels import dft
+
+# Mirrors BUFFER_SIZE_LIMIT (offt.h:51): ceiling on per-device working set,
+# expressed in complex64 elements of pipeline scratch (32M elems = 256 MiB).
+BUFFER_ELEMS_LIMIT = 32 * 1024 * 1024
+
+TRANSPOSE_ALL_TO_ALL = 0   # single lax.all_to_all per phase
+TRANSPOSE_PPERMUTE = 1     # ring of collective_permutes (overlappable)
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanParams:
+    """Tunable execution parameters for one 3-D FFT plan."""
+
+    # decomposition: p = p1 * p2 (p2 == 1 -> slab; p1 == 1 -> "METHOD ONE"
+    # analogue, see offt-compute.c:3896-3998)
+    p1: int = 1
+    # pipeline chunking: number of tiles each transpose phase is split into
+    # (1 = no pipelining, analogous to W=0 blocking alltoall, run-fft.c -Q)
+    t1: int = 1
+    t2: int = 1
+    # in-flight window depth per phase (reference W1/W2, offt.h:78-79);
+    # with XLA async collectives this bounds concurrently live chunks
+    w1: int = 1
+    w2: int = 1
+    # y-FFT split between phases, in tenths (reference Ry, offt.h:94)
+    ry: int = 10
+    # transpose strategy per phase (reference S knob generalized)
+    s1: int = TRANSPOSE_ALL_TO_ALL
+    s2: int = TRANSPOSE_ALL_TO_ALL
+    # padded (0) vs exact/ragged (1) shards (reference V knob; padded first)
+    v: int = 0
+    # per-axis radix factorization override; None -> dft.factorize default
+    radix_z: Optional[tuple[int, ...]] = None
+    radix_y: Optional[tuple[int, ...]] = None
+    radix_x: Optional[tuple[int, ...]] = None
+    # fused Pallas local-FFT kernel on TPU (0 = pure-XLA matmul path)
+    use_pallas: int = 0
+    # batch tile (pencils per Pallas block); 0 = auto
+    block_batch: int = 0
+
+    def astuple(self) -> tuple:
+        return dataclasses.astuple(self)
+
+    def replace(self, **kw) -> "PlanParams":
+        return dataclasses.replace(self, **kw)
+
+
+def divisors(n: int) -> list[int]:
+    ds = [d for d in range(1, int(math.isqrt(n)) + 1) if n % d == 0]
+    return sorted(set(ds + [n // d for d in ds]))
+
+
+def pow2_grid(lo: int, hi: int, include_zero: bool = False) -> list[int]:
+    """The reference's power-of-two value ladders (offt-compute.c:3042-3079)."""
+    vals = [0] if include_zero else []
+    v = max(lo, 1)
+    while v < hi:
+        vals.append(v)
+        v *= 2
+    vals.append(hi)
+    return sorted(set(vals))
+
+
+def p1_candidates(nx: int, ny: int, nz: int, p: int) -> list[int]:
+    """Legal decomposition factors, mirroring offt-compute.c:3002-3023.
+
+    p1 must divide p; the row group size p2 = p/p1 must not exceed Ny or Nz
+    (each rank needs >=1 plane in every pencil orientation), and p1 must not
+    exceed Nx or Ny.
+    """
+    out = []
+    for d in divisors(p):
+        p2 = p // d
+        if d <= min(nx, ny) and p2 <= min(ny, nz):
+            out.append(d)
+    return out or [p]
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemSpec:
+    """Static problem description a plan is built for."""
+
+    shape: tuple[int, int, int]
+    dtype: str = "complex64"
+    real: bool = False          # r2c/c2r transform
+    inverse: bool = False
+    batch: int = 1
+    p: int = 1                  # total device count
+
+    @property
+    def nz_freq(self) -> int:
+        """Transform length along z after r2c folding (Nz//2+1)."""
+        return self.shape[2] // 2 + 1 if self.real else self.shape[2]
+
+
+def default_params(spec: ProblemSpec, p1: Optional[int] = None) -> PlanParams:
+    """Heuristic default point — the analogue of ``params_set_default``
+    (offt-compute.c:3127-3225). This is the baseline the tuner must beat
+    by >=20% (BASELINE.md). ``p1`` pins the grid factor (a concrete mesh)."""
+    nx, ny, nz = spec.shape
+    if p1 is None:
+        cands = p1_candidates(nx, ny, nz, spec.p)
+        # prefer near-square grid (balanced all_to_all volume per phase)
+        root = int(math.sqrt(spec.p))
+        p1 = min(cands, key=lambda d: (abs(d - root), d))
+    if spec.p == 1:
+        return PlanParams(p1=1)
+    # modest pipelining by default, mirroring the reference's W=2 heuristic
+    # (offt-compute.c:3127-3225); tiles bounded by the per-device extents
+    p2 = spec.p // p1
+    t1 = min(4, max(1, nx // max(p1, 1)))
+    t2 = min(4, max(1, spec.nz_freq // max(p2, 1)))
+    return PlanParams(p1=p1, t1=t1, t2=t2, w1=min(2, t1), w2=min(2, t2))
+
+
+def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
+    """Structural feasibility predicate — analogue of ``is_infeasible_point``
+    (offt-tuning.c:144-226). Returns a human-readable reason or None."""
+    nx, ny, nz = spec.shape
+    nzf = spec.nz_freq
+    p = spec.p
+    if p % params.p1 != 0:
+        return f"p1={params.p1} does not divide p={p}"
+    p2 = p // params.p1
+    if params.p1 > min(nx, ny):
+        return f"p1={params.p1} exceeds min(Nx,Ny)={min(nx, ny)}"
+    if p2 > min(ny, nz):
+        return f"p2={p2} exceeds min(Ny,Nz)={min(ny, nz)}"
+    # tiles must not exceed the per-device pencil-batch extents they chunk
+    m1 = -(-nx // params.p1)            # x rows per device, phase 1
+    m3 = -(-nzf // p2)                  # z planes per device, phase 2
+    if not (1 <= params.t1 <= max(m1, 1)):
+        return f"t1={params.t1} outside [1,{m1}]"
+    if not (1 <= params.t2 <= max(m3, 1)):
+        return f"t2={params.t2} outside [1,{m3}]"
+    if not (0 <= params.w1 <= params.t1):
+        return f"w1={params.w1} outside [0,t1]"
+    if not (0 <= params.w2 <= params.t2):
+        return f"w2={params.w2} outside [0,t2]"
+    if not (0 <= params.ry <= 10):
+        return f"ry={params.ry} outside [0,10]"
+    if params.s1 not in (0, 1) or params.s2 not in (0, 1):
+        return "s1/s2 outside {0,1}"
+    if params.v not in (0, 1):
+        return "v outside {0,1}"
+    # buffer ceiling, reference BUFFER_SIZE_LIMIT (offt-tuning.c:170,183):
+    # per-device working set of one pipelined chunk x window depth
+    per_dev = (nx * ny * nzf * max(spec.batch, 1)) / max(p, 1)
+    for t, w in ((params.t1, params.w1), (params.t2, params.w2)):
+        inflight = (max(w, 1) + 1) * (per_dev / max(t, 1))
+        if inflight > BUFFER_ELEMS_LIMIT:
+            return "pipeline working set exceeds BUFFER_ELEMS_LIMIT"
+    for rad, n in (
+        (params.radix_z, nzf if not spec.real else nz),
+        (params.radix_y, ny),
+        (params.radix_x, nx),
+    ):
+        if rad is not None:
+            prod = 1
+            for r in rad:
+                prod *= r
+            if prod != n or any(r > dft.MAX_RADIX for r in rad):
+                return f"radices {rad} invalid for N={n}"
+    return None
+
+
+def is_feasible(spec: ProblemSpec, params: PlanParams) -> bool:
+    return infeasible_reason(spec, params) is None

@@ -1,0 +1,134 @@
+"""Distributed pencil/slab 3-D FFT on a virtual 8-device CPU mesh
+(BASELINE config 3 scaled down; the multi-device story of SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import offt_tpu
+from offt_tpu.dist import make_mesh
+from offt_tpu.plan.params import TRANSPOSE_PPERMUTE, PlanParams
+
+
+def rel_err(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.linalg.norm(a.ravel() - b.ravel()) / max(np.linalg.norm(b.ravel()), 1e-30)
+
+
+def rand_c(shape, dtype=np.complex128, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(dtype)
+
+
+MESHES = [(1, 8), (2, 4), (4, 2), (8, 1), (2, 2), (1, 1)]
+
+
+@pytest.mark.parametrize("p1,p2", MESHES)
+def test_pencil_c2c(p1, p2):
+    mesh = make_mesh(p1, p2)
+    x = rand_c((16, 16, 16), seed=p1 * 10 + p2)
+    got = offt_tpu.fft3d(x, mesh=mesh)
+    want = np.fft.fftn(x)
+    assert rel_err(got, want) < 1e-12
+
+
+@pytest.mark.parametrize("p1,p2", [(2, 4), (4, 2)])
+def test_pencil_ifft(p1, p2):
+    mesh = make_mesh(p1, p2)
+    x = rand_c((16, 16, 8), seed=5)
+    got = offt_tpu.ifft3d(x, mesh=mesh)
+    want = np.fft.ifftn(x)
+    assert rel_err(got, want) < 1e-12
+
+
+def test_pencil_roundtrip():
+    mesh = make_mesh(2, 4)
+    x = rand_c((16, 16, 16), seed=9)
+    rt = offt_tpu.ifft3d(offt_tpu.fft3d(x, mesh=mesh), mesh=mesh)
+    assert rel_err(rt, x) < 1e-12
+
+
+@pytest.mark.parametrize("p1,p2", [(2, 4), (1, 8), (8, 1)])
+def test_pencil_rfft(p1, p2):
+    mesh = make_mesh(p1, p2)
+    x = np.random.default_rng(3).standard_normal((16, 16, 16))
+    got = offt_tpu.rfft3d(x, mesh=mesh)
+    want = np.fft.rfftn(x)
+    assert rel_err(got, want) < 1e-12
+
+
+@pytest.mark.parametrize("p1,p2", [(2, 4), (2, 2)])
+def test_pencil_irfft(p1, p2):
+    mesh = make_mesh(p1, p2)
+    x = np.random.default_rng(4).standard_normal((16, 16, 16))
+    xf = np.fft.rfftn(x)
+    got = offt_tpu.irfft3d(xf.astype(np.complex128), nz=16, mesh=mesh)
+    assert rel_err(got, x) < 1e-12
+
+
+@pytest.mark.parametrize("t1,t2,w", [(2, 2, 1), (4, 1, 2), (1, 4, 2), (3, 3, 1)])
+def test_pipeline_chunking(t1, t2, w):
+    mesh = make_mesh(2, 4)
+    x = rand_c((16, 16, 16), seed=t1 * 10 + t2)
+    params = PlanParams(p1=2, t1=t1, t2=t2, w1=min(w, t1), w2=min(w, t2))
+    got = offt_tpu.fft3d(x, mesh=mesh, params=params)
+    assert rel_err(got, np.fft.fftn(x)) < 1e-12
+
+
+@pytest.mark.parametrize("ry", [0, 3, 5, 10])
+def test_ry_split(ry):
+    mesh = make_mesh(2, 4)
+    x = rand_c((16, 16, 16), seed=ry)
+    params = PlanParams(p1=2, t1=2, t2=2, ry=ry)
+    got = offt_tpu.fft3d(x, mesh=mesh, params=params)
+    assert rel_err(got, np.fft.fftn(x)) < 1e-12
+
+
+@pytest.mark.parametrize("s1,s2", [(1, 0), (0, 1), (1, 1)])
+def test_ppermute_ring_transpose(s1, s2):
+    mesh = make_mesh(2, 4)
+    x = rand_c((16, 16, 16), seed=s1 * 2 + s2)
+    params = PlanParams(p1=2, s1=s1, s2=s2)
+    got = offt_tpu.fft3d(x, mesh=mesh, params=params)
+    assert rel_err(got, np.fft.fftn(x)) < 1e-12
+
+
+def test_ppermute_matches_a2a():
+    mesh = make_mesh(2, 4)
+    x = rand_c((16, 16, 16), seed=11)
+    a = offt_tpu.fft3d(x, mesh=mesh, params=PlanParams(p1=2, s1=0, s2=0))
+    b = offt_tpu.fft3d(x, mesh=mesh,
+                       params=PlanParams(p1=2, s1=TRANSPOSE_PPERMUTE,
+                                         s2=TRANSPOSE_PPERMUTE))
+    assert rel_err(a, b) < 1e-13
+
+
+def test_batched_pencil():
+    mesh = make_mesh(2, 4)
+    x = rand_c((3, 16, 16, 16), seed=13)
+    got = offt_tpu.fft3d(x, mesh=mesh)
+    want = np.fft.fftn(x, axes=(-3, -2, -1))
+    assert rel_err(got, want) < 1e-12
+
+
+def test_output_sharding_is_transposed():
+    mesh = make_mesh(2, 4)
+    x = rand_c((16, 16, 16), seed=15)
+    p = offt_tpu.plan((16, 16, 16), x.dtype, mesh=mesh)
+    y = p(x)
+    from jax.sharding import PartitionSpec as P
+    assert y.sharding.spec == P(None, "row", "col")
+
+
+def test_indivisible_raises():
+    mesh = make_mesh(2, 4)
+    with pytest.raises(ValueError):
+        offt_tpu.plan((9, 16, 16), "complex64", mesh=mesh)
+    with pytest.raises(ValueError):
+        offt_tpu.plan((16, 12, 16), "complex64", mesh=mesh)  # Ny % (p1*p2) != 0
+
+
+def test_nonsquare_dims():
+    mesh = make_mesh(2, 4)
+    x = rand_c((8, 16, 32), seed=17)
+    got = offt_tpu.fft3d(x, mesh=mesh)
+    assert rel_err(got, np.fft.fftn(x)) < 1e-12
