@@ -44,11 +44,13 @@ def _prime_factors(n: int) -> list[int]:
 def factorize(n: int, max_radix: int = MAX_RADIX) -> tuple[int, ...]:
     """Factor n into a tuple of radices, each <= max_radix, product == n.
 
-    Greedy: repeatedly peel off the largest divisor <= max_radix. Primes above
-    max_radix are left in the list (the caller falls back to Bluestein for
-    those). This is the *default* factorization; the tuner may override it
-    (the reference's analogous knob is the FFTW plan rigor + our new radix
-    knob, SURVEY.md 2c "TPU mapping note").
+    Policy: first minimize the stage count (each stage in the unfused path
+    is a full HBM read+write of the array), then *balance* the radices to
+    minimize sum(radices) (MXU MACs per element = radix). E.g. 256 ->
+    (16, 16), not (128, 2): same memory traffic, 4x less matmul work.
+    Primes above max_radix are left in the list (the caller falls back to
+    Bluestein for those). This is the *default* factorization; the tuner
+    may override it (SURVEY.md 2c "TPU mapping note").
     """
     if n <= 0:
         raise ValueError(f"FFT length must be positive, got {n}")
@@ -57,19 +59,31 @@ def factorize(n: int, max_radix: int = MAX_RADIX) -> tuple[int, ...]:
     primes = _prime_factors(n)
     big = [p for p in primes if p > max_radix]
     rest = [p for p in primes if p <= max_radix]
-    radices: list[int] = []
-    cur = 1
-    # pack primes (largest first) into radices <= max_radix
-    for p in sorted(rest, reverse=True):
-        if cur * p <= max_radix:
-            cur *= p
-        else:
-            radices.append(cur)
-            cur = p
-    if cur > 1:
-        radices.append(cur)
-    radices.extend(big)
-    return tuple(sorted(radices, reverse=True))
+    if not rest:
+        return tuple(sorted(big, reverse=True))
+    # minimal number of stages k; then balance by greedily assigning primes
+    # (largest first) to the currently-smallest bucket that still fits.
+    prod = 1
+    for p in rest:
+        prod *= p
+    k = 1
+    while max_radix ** k < prod:
+        k += 1
+    for _ in range(len(rest)):  # k may be infeasible for awkward primes
+        buckets = [1] * k
+        ok = True
+        for p in sorted(rest, reverse=True):
+            cands = [i for i in range(k) if buckets[i] * p <= max_radix]
+            if not cands:
+                ok = False
+                break
+            tgt = min(cands, key=lambda i: buckets[i])
+            buckets[tgt] *= p
+        if ok:
+            return tuple(sorted(buckets, reverse=True)) + tuple(
+                sorted(big, reverse=True))
+        k += 1
+    raise AssertionError("unreachable: k == len(primes) always feasible")
 
 
 def validate_factorization(n: int, radices: tuple[int, ...]) -> tuple[int, ...]:

@@ -182,7 +182,8 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
         if inflight > BUFFER_ELEMS_LIMIT:
             return "pipeline working set exceeds BUFFER_ELEMS_LIMIT"
     for rad, n in (
-        (params.radix_z, nzf if not spec.real else nz),
+        # r2c/c2r runs the packed half-length transform along z
+        (params.radix_z, nz // 2 if spec.real else nz),
         (params.radix_y, ny),
         (params.radix_x, nx),
     ):

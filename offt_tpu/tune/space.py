@@ -1,0 +1,156 @@
+"""Discrete search space over plan parameters.
+
+Mirrors the reference's tuning-space setup: Active Harmony sessions bind 24
+int variables V00..V23 that are *indices into per-parameter value grids*
+(offt-tuning.c:779-786, grids built by params_range_setup,
+offt-compute.c:2998-3093). We keep exactly that shape: a SearchSpace is an
+ordered list of named dimensions, each with a static tuple of legal values;
+points are index vectors; conversion to/from PlanParams is the analogue of
+params_convert (offt-tuning.c:80-136).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Optional, Sequence
+
+from ..kernels import dft
+from ..plan.params import (
+    PlanParams,
+    ProblemSpec,
+    infeasible_reason,
+    p1_candidates,
+    pow2_grid,
+)
+
+Point = tuple  # index vector, one int per dimension
+
+
+@dataclasses.dataclass(frozen=True)
+class Dimension:
+    name: str
+    values: tuple
+
+    def __len__(self):
+        return len(self.values)
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchSpace:
+    spec: ProblemSpec
+    dims: tuple[Dimension, ...]
+
+    @property
+    def names(self) -> tuple[str, ...]:
+        return tuple(d.name for d in self.dims)
+
+    @property
+    def sizes(self) -> tuple[int, ...]:
+        return tuple(len(d) for d in self.dims)
+
+    def size(self) -> int:
+        s = 1
+        for d in self.dims:
+            s *= len(d)
+        return s
+
+    def clip(self, point: Sequence[float]) -> Point:
+        """Snap a real-valued vector onto the index grid (libvertex
+        vertex_regrid analogue, libvertex.c:317-366)."""
+        out = []
+        for v, d in zip(point, self.dims):
+            i = int(round(v))
+            out.append(max(0, min(len(d) - 1, i)))
+        return tuple(out)
+
+    def to_params(self, point: Point) -> PlanParams:
+        kw = {}
+        for i, d in zip(point, self.dims):
+            kw[d.name] = d.values[int(i)]
+        return PlanParams(**kw)
+
+    def from_params(self, params: PlanParams) -> Point:
+        out = []
+        for d in self.dims:
+            v = getattr(params, d.name)
+            if v in d.values:
+                out.append(d.values.index(v))
+            else:  # snap to nearest grid value (grid_value_floor analogue)
+                numeric = [x for x in d.values if isinstance(x, int)]
+                if numeric and isinstance(v, int):
+                    nearest = min(numeric, key=lambda x: abs(x - v))
+                    out.append(d.values.index(nearest))
+                else:
+                    out.append(0)
+        return tuple(out)
+
+    def infeasible_reason(self, point: Point) -> Optional[str]:
+        return infeasible_reason(self.spec, self.to_params(point))
+
+    def random_point(self, rng) -> Point:
+        return tuple(int(rng.integers(0, len(d))) for d in self.dims)
+
+
+def _radix_candidates(n: int, limit: int = 6) -> tuple:
+    """A few good factorizations of n: the balanced default plus greedy
+    largest-first and some near-balanced alternates."""
+    if n <= 1:
+        return (None,)
+    cands = [None, dft.factorize(n)]  # None = library default
+    # greedy largest-first (fewest big stages)
+    m, greedy = n, []
+    while m > 1:
+        r = next((d for d in range(min(dft.MAX_RADIX, m), 1, -1) if m % d == 0), m)
+        if r > dft.MAX_RADIX:
+            return (None,)  # non-smooth: Bluestein path, no choice
+        greedy.append(r)
+        m //= r
+    cands.append(tuple(sorted(greedy, reverse=True)))
+    # all 2-factor splits within radix bound
+    for a in range(2, int(n ** 0.5) + 1):
+        if n % a == 0 and a <= dft.MAX_RADIX and n // a <= dft.MAX_RADIX:
+            cands.append(tuple(sorted((a, n // a), reverse=True)))
+    uniq = []
+    for c in cands:
+        if c not in uniq:
+            uniq.append(c)
+    return tuple(uniq[:limit])
+
+
+def build_space(
+    spec: ProblemSpec,
+    fixed_p1: Optional[int] = None,
+    include_radix: bool = True,
+    max_tile: int = 16,
+) -> SearchSpace:
+    """The TPU plan search space (SURVEY.md §2c surviving-knob mapping)."""
+    nx, ny, nz = spec.shape
+    nzf = spec.nz_freq
+    p = spec.p
+    dims = []
+    if fixed_p1 is not None:
+        dims.append(Dimension("p1", (fixed_p1,)))
+    else:
+        dims.append(Dimension("p1", tuple(p1_candidates(nx, ny, nz, p))))
+    p2_min = max(1, p // max(d for d in p1_candidates(nx, ny, nz, p)))
+    m1 = max(1, nx // max(1, min(p1_candidates(nx, ny, nz, p))))
+    m3 = max(1, nzf // max(1, p2_min))
+    dims.append(Dimension("t1", tuple(pow2_grid(1, min(max_tile, m1)))))
+    dims.append(Dimension("t2", tuple(pow2_grid(1, min(max_tile, m3)))))
+    dims.append(Dimension("w1", tuple(range(0, 5))))
+    dims.append(Dimension("w2", tuple(range(0, 5))))
+    dims.append(Dimension("ry", tuple(range(0, 11))))
+    dims.append(Dimension("s1", (0, 1)))
+    dims.append(Dimension("s2", (0, 1)))
+    if include_radix:
+        dims.append(Dimension("radix_z", _radix_candidates(nz if not spec.real
+                                                           else nz // 2)))
+        dims.append(Dimension("radix_y", _radix_candidates(ny)))
+        dims.append(Dimension("radix_x", _radix_candidates(nx)))
+    return SearchSpace(spec=spec, dims=tuple(dims))
+
+
+def grid_iter(space: SearchSpace):
+    """Odometer walk over the whole grid (brute.c:142-157 vertex_incr)."""
+    return itertools.product(*(range(len(d)) for d in space.dims))

@@ -1,0 +1,239 @@
+"""The tuning loop: candidate -> feasibility -> memo-DB -> build plan ->
+time it -> report; plus the public ``tune()`` entry point.
+
+Python/JAX re-expression of ``ah_tuning`` (/root/reference/offt-tuning.c:744-1022):
+
+- single-controller JAX replaces rank-0 + MPI_Bcast of the chosen point
+  (offt-tuning.c:920): every device sees the same trace by construction.
+- the in-memory + JSONL point database replaces tmp-db-<rand>
+  (offt-tuning.c:231-277); the *persistent* best-plan cache
+  (plan/cache.py) is the cross-run upgrade BASELINE.md calls for.
+- errored/infeasible candidates score +inf and the search continues,
+  mirroring perf=99999999.0 (offt-tuning.c:906-907, offt-compute.c:3881).
+- termination: max_trials feasible points, 10x total cap, or strategy
+  convergence (offt-tuning.c:893).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..obs.log import EventLog
+from ..plan import cache as plan_cache
+from ..plan.api import Plan, plan as build_plan
+from ..plan.params import PlanParams, ProblemSpec, default_params
+from .space import Point, SearchSpace, build_space
+from .strategies import Strategy, make_strategy
+
+INF = float("inf")
+
+
+def _default_timer(reps: int = 3, inner: int = 4) -> Callable[[Plan], float]:
+    """Time one plan execution (seconds) via chained-execution differencing
+    (see bench.py for why block_until_ready cannot be trusted on tunneled
+    runtimes)."""
+
+    def timer(p: Plan) -> float:
+        import jax
+
+        shape = (p.ndim - 3) * (1,) + tuple(p.spec.shape)
+        rng = np.random.default_rng(0)
+        rdt = np.float32 if "64" in p.spec.dtype else np.float64
+        re = jax.device_put(rng.standard_normal(shape).astype(rdt))
+        if p.spec.real and not p.spec.inverse:
+            args = (re,)
+        else:
+            im = jax.device_put(rng.standard_normal(shape).astype(rdt))
+            args = (re, im)
+
+        def chain(k):
+            out = args
+            t0 = time.perf_counter()
+            for _ in range(k):
+                out = p._fn(*out)
+                if not isinstance(out, tuple):
+                    out = (out,)
+                out = out[: len(args)]
+                # c2c planar keeps (re, im) shapes; for shape-changing
+                # transforms fall back to repeated same-input calls
+                if any(o.shape != a.shape for o, a in zip(out, args)):
+                    out = args
+            leaf = out[0]
+            _ = float(leaf[(0,) * leaf.ndim])
+            return time.perf_counter() - t0
+
+        chain(1)  # compile
+        t_small = min(chain(1) for _ in range(reps))
+        t_large = min(chain(1 + inner) for _ in range(reps))
+        return max((t_large - t_small) / inner, 1e-9)
+
+    return timer
+
+
+@dataclasses.dataclass
+class TrialRecord:
+    point: Point
+    params: Optional[PlanParams]
+    perf: float
+    status: str  # ok | infeasible | duplicate | error
+
+
+@dataclasses.dataclass
+class TuneResult:
+    best_params: PlanParams
+    best_perf: float
+    default_perf: float
+    trials: list[TrialRecord]
+    converged: bool
+
+    @property
+    def speedup_vs_default(self) -> float:
+        if self.best_perf <= 0 or self.default_perf == INF:
+            return float("nan")
+        return self.default_perf / self.best_perf
+
+
+class Tuner:
+    """Strategy-driven search with memoization and structured logging."""
+
+    def __init__(
+        self,
+        space: SearchSpace,
+        objective: Callable[[PlanParams], float],
+        strategy: str | Strategy = "nm",
+        max_trials: int = 50,
+        seed: int = 0,
+        log: Optional[EventLog] = None,
+        init_points: Optional[list[PlanParams]] = None,
+    ):
+        self.space = space
+        self.objective = objective
+        if isinstance(strategy, str):
+            init_simplex = None
+            if init_points:
+                init_simplex = [space.from_params(p) for p in init_points]
+            kw = {"seed": seed}
+            if strategy in ("nm", "pro"):
+                kw["init_simplex"] = init_simplex
+            self.strategy: Strategy = make_strategy(strategy, space, **kw)
+        else:
+            self.strategy = strategy
+        self.max_trials = max_trials
+        self.log = log or EventLog()
+        self.db: dict[Point, float] = {}
+        self.trials: list[TrialRecord] = []
+
+    def run(self) -> tuple[Optional[PlanParams], float]:
+        feasible = 0
+        total = 0
+        while feasible < self.max_trials and total < 10 * self.max_trials:
+            if self.strategy.converged():
+                break
+            point = self.strategy.generate()
+            if point is None:
+                break
+            total += 1
+            reason = self.space.infeasible_reason(point)
+            if reason is not None:
+                self.trials.append(TrialRecord(point, None, INF, "infeasible"))
+                self.log.emit("trial", point=list(point), status="infeasible",
+                              reason=reason)
+                self.strategy.rejected(point)
+                continue
+            if point in self.db:  # memo hit (is_in_database_point analogue)
+                perf = self.db[point]
+                self.trials.append(
+                    TrialRecord(point, self.space.to_params(point), perf,
+                                "duplicate"))
+                self.strategy.analyze(point, perf)
+                continue
+            params = self.space.to_params(point)
+            try:
+                perf = float(self.objective(params))
+                status = "ok"
+            except Exception as e:  # compile failure / OOM -> +inf, continue
+                perf = INF
+                status = "error"
+                self.log.emit("trial_error", point=list(point), error=repr(e))
+            self.db[point] = perf
+            feasible += 1
+            self.trials.append(TrialRecord(point, params, perf, status))
+            self.log.emit("trial", point=list(point), perf=perf, status=status)
+            self.strategy.analyze(point, perf)
+        best = self.strategy.best()
+        if best is None:
+            return None, INF
+        return self.space.to_params(best), self.db.get(tuple(best), INF)
+
+
+def tune(
+    shape: tuple[int, int, int],
+    dtype="complex64",
+    *,
+    mesh=None,
+    real: bool = False,
+    strategy: str = "nm",
+    max_trials: int = 30,
+    timer: Optional[Callable[[Plan], float]] = None,
+    seed: int = 0,
+    log_path: Optional[str] = None,
+    save: bool = True,
+    include_radix: bool = True,
+) -> TuneResult:
+    """Auto-tune a 3-D FFT plan for (shape, dtype, mesh); returns the best
+    PlanParams and writes them to the persistent plan cache."""
+    import jax
+    import jax.numpy as jnp
+
+    p = 1 if mesh is None else mesh.devices.size
+    fixed_p1 = None
+    if mesh is not None:
+        from ..dist.mesh import mesh_shape
+        fixed_p1 = mesh_shape(mesh)[0]
+    spec = ProblemSpec(shape=tuple(shape), dtype=str(jnp.dtype(dtype)),
+                       real=real, p=p)
+    space = build_space(spec, fixed_p1=fixed_p1, include_radix=include_radix)
+    timer = timer or _default_timer()
+    log = EventLog(log_path)
+
+    def objective(params: PlanParams) -> float:
+        pl = build_plan(shape, dtype, mesh=mesh, real=real, params=params,
+                        use_cache=False, planar=True)
+        return timer(pl)
+
+    # seed the search with the heuristic default point (and always time it:
+    # it is the >=20%-improvement baseline)
+    dflt = default_params(spec, p1=fixed_p1)
+    dflt_point = space.from_params(dflt)
+    tuner = Tuner(space, objective, strategy=strategy, max_trials=max_trials,
+                  seed=seed, log=log, init_points=[dflt])
+    t0 = time.time()
+    best_params, best_perf = tuner.run()
+    default_perf = tuner.db.get(dflt_point)
+    if default_perf is None:
+        try:
+            default_perf = objective(space.to_params(dflt_point))
+        except Exception:
+            default_perf = INF
+    if best_params is None or best_perf == INF:
+        best_params, best_perf = space.to_params(dflt_point), default_perf
+    log.emit("tune_done", best=dataclasses.asdict(best_params),
+             best_perf=best_perf, default_perf=default_perf,
+             wall=round(time.time() - t0, 3),
+             trials=len(tuner.trials))
+    if save:
+        p1 = fixed_p1 or best_params.p1
+        p2 = p // max(p1, 1)
+        dev_kind = (mesh.devices.flat[0].device_kind if mesh is not None
+                    else jax.devices()[0].device_kind)
+        plan_cache.store(
+            plan_cache.plan_key(shape, spec.dtype, real, p1, p2, dev_kind),
+            best_params, perf=best_perf)
+    log.close()
+    return TuneResult(best_params=best_params, best_perf=best_perf,
+                      default_perf=default_perf, trials=tuner.trials,
+                      converged=tuner.strategy.converged())

@@ -108,7 +108,9 @@ def test_large_n_fp32_baseline_config1():
 
 
 def test_factorize():
-    assert dft.factorize(1024) == (128, 8)
+    assert dft.factorize(1024) == (32, 32)
+    assert dft.factorize(256) == (16, 16)
+    assert dft.factorize(1 << 20) == (128, 128, 64)
     for n in [2, 6, 30, 360, 1 << 20, 1000]:
         rad = dft.factorize(n)
         prod = 1
