@@ -1,0 +1,215 @@
+"""Benchmark driver CLI — the re-expression of the reference's run-fft.c.
+
+The reference driver (run-fft.c:128-515) takes -N/-n/-L sizes, -a algorithm
+{0=OFFT, 1=FFTW-MPI, 2=P3DFFT, 3=2DECOMP}, -R r2c, -r reps, tuning flags
+(-s strategy, -l max_loop) and per-parameter overrides, fills a
+deterministic input, times init/reps/fin, and prints per-stage breakdowns.
+
+Here: ``python -m offt_tpu.bench.runfft -N 256 -a offt --tune ...``
+Algorithms: offt (this library), xla (jnp.fft on device), numpy (host).
+Output: human-readable lines + one machine-readable JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def _parse_args(argv=None):
+    p = argparse.ArgumentParser(prog="offt-bench",
+                                description="offt-tpu benchmark driver")
+    p.add_argument("-N", type=int, default=256, help="cube size (Nx=Ny=Nz)")
+    p.add_argument("--nx", type=int, default=0)
+    p.add_argument("--ny", type=int, default=0)
+    p.add_argument("--nz", type=int, default=0)
+    p.add_argument("-a", "--algo", default="offt",
+                   choices=["offt", "xla", "numpy"])
+    p.add_argument("-R", "--r2c", action="store_true")
+    p.add_argument("-i", "--inverse", action="store_true")
+    p.add_argument("-r", "--reps", type=int, default=5)
+    p.add_argument("--p1", type=int, default=0, help="mesh rows (0=auto)")
+    p.add_argument("--p2", type=int, default=0, help="mesh cols (0=auto)")
+    p.add_argument("--mesh", action="store_true",
+                   help="distribute over all visible devices")
+    p.add_argument("--tune", action="store_true")
+    p.add_argument("-s", "--strategy", default="nm",
+                   help="tuning strategy: nm|pro|random|brute")
+    p.add_argument("-l", "--max-trials", type=int, default=30)
+    p.add_argument("--log", default="", help="JSONL trial/event log path")
+    # per-parameter overrides (reference run-fft.c:207-230 one flag per knob)
+    for knob in ("t1", "t2", "w1", "w2", "ry", "s1", "s2", "v"):
+        p.add_argument(f"--{knob}", type=int, default=None)
+    p.add_argument("--radix-z", default=None, help="e.g. 16,16")
+    p.add_argument("--radix-y", default=None)
+    p.add_argument("--radix-x", default=None)
+    p.add_argument("--verify", action="store_true",
+                   help="check output vs numpy (golden input)")
+    return p.parse_args(argv)
+
+
+def _bench_chained(fn, args, reps):
+    import jax
+
+    def chain(k):
+        out = args
+        t0 = time.perf_counter()
+        for _ in range(k):
+            res = fn(*out)
+            out = res if isinstance(res, tuple) else (res,)
+            if any(o.shape != a.shape or o.dtype != a.dtype
+                   for o, a in zip(out, args)):
+                out = args
+        leaf = out[0]
+        _ = np.asarray(jax.device_get(leaf)).ravel()[0]
+        return time.perf_counter() - t0
+
+    chain(1)
+    t_s = min(chain(1) for _ in range(reps))
+    t_l = min(chain(1 + 8) for _ in range(reps))
+    return max((t_l - t_s) / 8, 1e-9)
+
+
+def main(argv=None):
+    ns = _parse_args(argv)
+    nx = ns.nx or ns.N
+    ny = ns.ny or ns.N
+    nz = ns.nz or ns.N
+    shape = (nx, ny, nz)
+    total = nx * ny * nz
+    flops = 5.0 * total * math.log2(total)
+
+    rng = np.random.default_rng(0)
+    t_init0 = time.time()
+
+    if ns.algo == "numpy":
+        x = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        fn = (np.fft.rfftn if ns.r2c else np.fft.fftn)
+        arg = x.real.copy() if ns.r2c else x
+        fn(arg)
+        t = min(_time_host(fn, arg) for _ in range(ns.reps))
+        _summary(ns, shape, flops, t, t_init=time.time() - t_init0)
+        return 0
+
+    import jax
+
+    import offt_tpu
+    from offt_tpu.plan.params import PlanParams
+
+    mesh = None
+    if ns.mesh or ns.p1 or ns.p2:
+        from offt_tpu.dist import make_mesh
+        devs = jax.devices()
+        p1 = ns.p1 or 1
+        p2 = ns.p2 or (len(devs) // p1)
+        mesh = make_mesh(p1, p2)
+
+    overrides = {k: getattr(ns, k) for k in
+                 ("t1", "t2", "w1", "w2", "ry", "s1", "s2", "v")
+                 if getattr(ns, k) is not None}
+    for flag, key in (("radix_z", "radix_z"), ("radix_y", "radix_y"),
+                      ("radix_x", "radix_x")):
+        v = getattr(ns, flag)
+        if v:
+            overrides[key] = tuple(int(t) for t in v.split(","))
+
+    params = None
+    if ns.tune:
+        from offt_tpu.tune import tune
+        res = tune(shape, "complex64", mesh=mesh, real=ns.r2c,
+                   strategy=ns.strategy, max_trials=ns.max_trials,
+                   log_path=ns.log or None)
+        params = res.best_params
+        print(f"# tuned: best={params} perf={res.best_perf * 1e3:.3f} ms "
+              f"default={res.default_perf * 1e3:.3f} ms "
+              f"speedup={res.speedup_vs_default:.2f}x", file=sys.stderr)
+    if overrides:
+        base = params or offt_tpu.plan(shape, "complex64", mesh=mesh,
+                                       real=ns.r2c).params
+        params = base.replace(**overrides)
+
+    re = jax.device_put(rng.standard_normal(shape).astype(np.float32))
+    if ns.algo == "offt":
+        p = offt_tpu.plan(shape, "complex64", mesh=mesh, real=ns.r2c,
+                          inverse=ns.inverse, params=params, planar=True)
+        if ns.r2c and not ns.inverse:
+            args = (re,)
+        else:
+            im = jax.device_put(rng.standard_normal(shape).astype(np.float32))
+            args = (re, im)
+        fn = p._fn
+        t_init = time.time() - t_init0
+        t = _bench_chained(fn, args, ns.reps)
+        if ns.verify:
+            _verify(p, shape, ns)
+    else:  # xla
+        import jax.numpy as jnp
+
+        if ns.r2c:
+            @jax.jit
+            def fn(r):
+                y = jnp.fft.rfftn(r)
+                return jnp.real(y), jnp.imag(y)
+            args = (re,)
+        else:
+            im = jax.device_put(rng.standard_normal(shape).astype(np.float32))
+
+            @jax.jit
+            def fn(r, i):
+                y = jnp.fft.fftn(jax.lax.complex(r, i))
+                return jnp.real(y), jnp.imag(y)
+            args = (re, im)
+        t_init = time.time() - t_init0
+        t = _bench_chained(fn, args, ns.reps)
+
+    _summary(ns, shape, flops, t, t_init=t_init)
+    return 0
+
+
+def _time_host(fn, arg):
+    t0 = time.perf_counter()
+    fn(arg)
+    return time.perf_counter() - t0
+
+
+def _verify(p, shape, ns):
+    rng = np.random.default_rng(1)
+    if ns.r2c and not ns.inverse:
+        x = rng.standard_normal(shape).astype(np.float32)
+        got = p(x)
+        got = np.asarray(got[0]) + 1j * np.asarray(got[1])
+        want = np.fft.rfftn(x)
+    else:
+        x = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        out = p((x.real.copy(), x.imag.copy()))
+        got = np.asarray(out[0]) + 1j * np.asarray(out[1])
+        want = np.fft.ifftn(x) if ns.inverse else np.fft.fftn(x)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    print(f"# verify rel_err = {err:.3e}", file=sys.stderr)
+    if err > 1e-5:
+        print("# VERIFY FAILED", file=sys.stderr)
+        sys.exit(1)
+
+
+def _summary(ns, shape, flops, t, t_init):
+    gflops = flops / t / 1e9
+    print(f"# {ns.algo} {shape} {'r2c' if ns.r2c else 'c2c'} "
+          f"t_min={t * 1e3:.3f} ms t_init={t_init:.2f} s "
+          f"{gflops:.1f} GFLOP/s", file=sys.stderr)
+    print(json.dumps({
+        "algo": ns.algo, "shape": list(shape),
+        "kind": "r2c" if ns.r2c else "c2c",
+        "t_ms": round(t * 1e3, 4), "gflops": round(gflops, 2),
+        "t_init_s": round(t_init, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

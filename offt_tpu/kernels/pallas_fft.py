@@ -1,0 +1,282 @@
+"""Fused Pallas TPU kernels: batched 1-D FFT in one HBM round trip.
+
+The unfused matmul path (stockham.py) costs ~3-5 HBM passes per axis
+(reshape/transpose materialization between radix stages). These kernels do
+the full 1-or-2-stage mixed-radix transform in VMEM, so each axis of a 3-D
+FFT is exactly one HBM read + one write:
+
+- ``fft_last``:  transform along the last (lane) axis. Per block, the
+  (TB, N) tile is reshaped (TB, r1, r2), stage A contracts r1 on the MXU,
+  a twiddle multiply runs on the VPU, stage B contracts r2, and the
+  (k2, k1) output order falls out of the final reshape.
+- ``fft_sublane``: transform along the second-to-last (sublane) axis of a
+  (N, L) tile — used for the y and x axes of a 3-D array *without any
+  transposes at all*: both stages are sublane-axis contractions
+  (einsum('kn,nml->kml')), which Mosaic maps straight onto the MXU.
+
+Everything is planar (separate float32 real/imag arrays): TPU Pallas has no
+complex dtype, and some TPU runtimes cannot transfer complex arrays at all.
+Complex matmuls use the 4-real-dot expansion with precision=HIGHEST
+(bf16x6) — measured 1.9e-7 rel err at 256^3 vs 5e-3 with the default.
+
+Reference parity note: this subsumes the FFTW 1-D plan cache + explicit
+pack/unpack/transpose kernels of rchyena/offt (offt-compute.c:329-489,
+905-2993); the cache sub-tile knobs (Px1/Py1/...) collapse into the block
+shape knobs (rows/lanes per block).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import dft
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _tables(n: int, r1: int, inverse: bool):
+    """Planar f32 DFT matrices + (transposed) twiddles for n = r1 * r2."""
+    r2 = n // r1
+    f1 = dft.dft_matrix(r1, np.complex128, inverse)
+    f2 = dft.dft_matrix(r2, np.complex128, inverse)
+    tw = dft.twiddles(r1, r2, np.complex128, inverse)  # (r1, r2)
+    out = {
+        "f1r": f1.real, "f1i": f1.imag,
+        "f2r": f2.real, "f2i": f2.imag,
+        "twr": tw.real, "twi": tw.imag,            # (r1, r2) for sublane
+        "twtr": tw.T.real, "twti": tw.T.imag,      # (r2, r1) for last-axis
+    }
+    return {k: v.astype(np.float32) for k, v in out.items()}
+
+
+def _cdot(ar, ai, br, bi, dot):
+    """Complex product via 4 real contractions (a @ b)."""
+    return (dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br))
+
+
+def _pick_2stage(n: int, radices=None) -> tuple[int, int] | None:
+    """Choose (r1, r2) with both <= MAX_RADIX, or None if not expressible."""
+    if radices is not None:
+        if len(radices) == 2 and all(r <= dft.MAX_RADIX for r in radices):
+            return int(radices[0]), int(radices[1])
+        if len(radices) == 1 and radices[0] <= dft.MAX_RADIX:
+            return int(radices[0]), 1
+        return None
+    rad = dft.factorize(n)
+    if len(rad) == 1 and rad[0] <= dft.MAX_RADIX:
+        return int(rad[0]), 1
+    if len(rad) == 2:
+        return int(rad[0]), int(rad[1])
+    return None
+
+
+# --------------------------------------------------------------------------
+# shared 2-stage core: transform along the SUBLANE axis of (N, L) data.
+# Mosaic cannot split the lane dimension in-register (probed on v5e:
+# (512,256)->(512,16,16) is "unsupported shape cast"), but sublane splits,
+# lane-preserving reshapes and minor-2D transposes all work — so every
+# kernel routes the transform axis through sublanes.
+# --------------------------------------------------------------------------
+
+def _sublane_core(xr, xi, f1r, f1i, f2r, f2i, twr, twi, r1: int, r2: int):
+    """FFT over the first axis of (N, L) planar vectors; natural output
+    order (flat index k2*r1 + k1 falls out of the reshape)."""
+    n = r1 * r2
+    lanes = xr.shape[-1]
+    xr = xr.reshape(r1, r2, lanes)
+    xi = xi.reshape(r1, r2, lanes)
+
+    def dot_a(f, a):  # contract n1: (r1, r1) x (r1, r2*L)
+        return jax.lax.dot_general(
+            f, a.reshape(r1, r2 * lanes), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HIGHEST,
+        ).reshape(r1, r2, lanes)
+
+    ar, ai = _cdot(f1r, f1i, xr, xi, dot_a)
+    br = ar * twr[:, :, None] - ai * twi[:, :, None]
+    bi = ar * twi[:, :, None] + ai * twr[:, :, None]
+
+    if r2 > 1:
+        def dot_b(f, a):  # contract n2: (r2, r2) x (r1, r2, L) -> (k2, k1, L)
+            return jax.lax.dot_general(
+                f, a, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HIGHEST)
+        cr, ci = _cdot(f2r, f2i, br, bi, dot_b)
+    else:
+        cr, ci = br, bi
+    return cr.reshape(n, lanes), ci.reshape(n, lanes)
+
+
+# --------------------------------------------------------------------------
+# last-axis kernel: VMEM-transpose sandwich around the sublane core
+# --------------------------------------------------------------------------
+
+def _last_kernel(xr_ref, xi_ref, f1r, f1i, f2r, f2i, twr, twi, or_ref, oi_ref,
+                 *, r1: int, r2: int):
+    yr, yi = _sublane_core(xr_ref[:].T, xi_ref[:].T,
+                           f1r[:], f1i[:], f2r[:], f2i[:], twr[:], twi[:],
+                           r1, r2)
+    or_ref[:] = yr.T
+    oi_ref[:] = yi.T
+
+
+def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
+             radices=None, block_rows: int = 0):
+    """Batched FFT along the last axis of planar (..., N) float32 arrays.
+
+    Returns (yr, yi). No 1/N scaling on inverse (caller handles, matching
+    stockham internals). Requires N expressible as r1*r2 with r1,r2<=128.
+    """
+    n = xr.shape[-1]
+    pick = _pick_2stage(n, radices)
+    if pick is None:
+        raise ValueError(f"N={n} not expressible as a 2-stage Pallas kernel")
+    r1, r2 = pick
+    lead = xr.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    xr2 = xr.reshape(b, n)
+    xi2 = xi.reshape(b, n)
+    # rows become lanes inside the kernel (transpose sandwich): use a
+    # 128-multiple block; pad the batch if needed
+    tb = block_rows or max(128, min(512, (1 << 21) // max(n, 1) & ~127))
+    tb = min(tb, -(-b // 128) * 128)
+    bp = -(-b // tb) * tb
+    if bp != b:
+        xr2 = jnp.pad(xr2, ((0, bp - b), (0, 0)))
+        xi2 = jnp.pad(xi2, ((0, bp - b), (0, 0)))
+    t = _tables(n, r1, inverse)
+    consts = [jnp.asarray(t[k]) for k in
+              ("f1r", "f1i", "f2r", "f2i", "twr", "twi")]
+    kernel = functools.partial(_last_kernel, r1=r1, r2=r2)
+    grid = (bp // tb,)
+    row_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_spec = [pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim,
+                               memory_space=pltpu.VMEM) for c in consts]
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec, row_spec] + const_spec,
+        out_specs=(row_spec, row_spec),
+        out_shape=(jax.ShapeDtypeStruct((bp, n), jnp.float32),
+                   jax.ShapeDtypeStruct((bp, n), jnp.float32)),
+        interpret=_interpret(),
+    )(xr2, xi2, *consts)
+    if bp != b:
+        yr = yr[:b]
+        yi = yi[:b]
+    return yr.reshape(*lead, n), yi.reshape(*lead, n)
+
+
+# --------------------------------------------------------------------------
+# sublane-axis kernel (y / x axes of a 3-D array: zero transposes)
+# --------------------------------------------------------------------------
+
+def _sublane_kernel(xr_ref, xi_ref, f1r, f1i, f2r, f2i, twr, twi,
+                    or_ref, oi_ref, *, r1: int, r2: int):
+    # refs are (1, N, lanes) blocks
+    yr, yi = _sublane_core(xr_ref[0], xi_ref[0],
+                           f1r[:], f1i[:], f2r[:], f2i[:], twr[:], twi[:],
+                           r1, r2)
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
+                inverse: bool = False, radices=None, block_lanes: int = 0):
+    """Batched FFT along any non-last axis of planar float32 arrays.
+
+    The array is viewed as (prefix, N, lanes) with lanes = product of the
+    trailing dims; each grid cell transforms one (N, lane-tile) block with
+    two sublane-axis MXU contractions — no data transposition anywhere.
+    """
+    axis = axis % xr.ndim
+    if axis == xr.ndim - 1:
+        raise ValueError("use fft_last for the last axis")
+    n = xr.shape[axis]
+    pick = _pick_2stage(n, radices)
+    if pick is None:
+        raise ValueError(f"N={n} not expressible as a 2-stage Pallas kernel")
+    r1, r2 = pick
+    pre = int(np.prod(xr.shape[:axis])) if axis else 1
+    lanes = int(np.prod(xr.shape[axis + 1:]))
+    shape3 = (pre, n, lanes)
+    xr3 = xr.reshape(shape3)
+    xi3 = xi.reshape(shape3)
+    tl = block_lanes or max(128, min(1024, (1 << 21) // max(n, 1) & ~127))
+    tl = min(tl, lanes)
+    if lanes % tl != 0:
+        # shrink to a divisor of lanes (lanes is a product of pow2-ish dims)
+        while tl > 1 and lanes % tl != 0:
+            tl //= 2
+        tl = max(tl, 1)
+    t = _tables(n, r1, inverse)
+    consts = [jnp.asarray(t[k]) for k in
+              ("f1r", "f1i", "f2r", "f2i", "twr", "twi")]
+    kernel = functools.partial(_sublane_kernel, r1=r1, r2=r2)
+    grid = (pre, lanes // tl)
+    blk = pl.BlockSpec((1, n, tl), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+    const_spec = [pl.BlockSpec(c.shape, lambda i, j: (0,) * c.ndim,
+                               memory_space=pltpu.VMEM) for c in consts]
+
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk, blk] + const_spec,
+        out_specs=(blk, blk),
+        out_shape=(jax.ShapeDtypeStruct(shape3, jnp.float32),
+                   jax.ShapeDtypeStruct(shape3, jnp.float32)),
+        interpret=_interpret(),
+    )(xr3, xi3, *consts)
+    return yr.reshape(xr.shape), yi.reshape(xr.shape)
+
+
+# --------------------------------------------------------------------------
+# planar 1-D dispatch + full 3-D transform
+# --------------------------------------------------------------------------
+
+def can_use_pallas(n: int, radices=None) -> bool:
+    return _pick_2stage(n, radices) is not None
+
+
+def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
+                  radices=None, scale: bool = True):
+    """Planar 1-D FFT along ``axis`` (numpy fft/ifft semantics)."""
+    axis = axis % xr.ndim
+    n = xr.shape[axis]
+    if axis == xr.ndim - 1:
+        yr, yi = fft_last(xr, xi, inverse=inverse, radices=radices)
+    else:
+        yr, yi = fft_sublane(xr, xi, axis, inverse=inverse, radices=radices)
+    if inverse and scale:
+        yr = yr / n
+        yi = yi / n
+    return yr, yi
+
+
+def fft3d_planar(xr, xi, inverse: bool = False,
+                 rad_z=None, rad_y=None, rad_x=None):
+    """Full 3-D c2c transform on planar arrays: exactly 3 HBM round trips
+    (one fused kernel per axis, no transposes)."""
+    ax, ay, az = xr.ndim - 3, xr.ndim - 2, xr.ndim - 1
+    if not inverse:
+        xr, xi = fft_1d_planar(xr, xi, az, radices=rad_z)
+        xr, xi = fft_1d_planar(xr, xi, ay, radices=rad_y)
+        xr, xi = fft_1d_planar(xr, xi, ax, radices=rad_x)
+        return xr, xi
+    xr, xi = fft_1d_planar(xr, xi, ax, inverse=True, radices=rad_x)
+    xr, xi = fft_1d_planar(xr, xi, ay, inverse=True, radices=rad_y)
+    xr, xi = fft_1d_planar(xr, xi, az, inverse=True, radices=rad_z)
+    return xr, xi
