@@ -39,9 +39,23 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
+import jax.numpy as _jnp
+
+from ..kernels import pallas_fft
 from ..kernels.stockham import fft_1d
 from ..plan.params import TRANSPOSE_PPERMUTE, PlanParams
 from .mesh import COL, ROW, mesh_shape
+
+
+def axis_fft(c, axis: int, inverse: bool, radices, params: PlanParams):
+    """Local 1-D transform dispatch: fused Pallas kernel when enabled and
+    expressible (complex64, 2-stage radix), else the unfused matmul path."""
+    if (params.use_pallas and c.dtype == _jnp.complex64
+            and pallas_fft.can_use_pallas(c.shape[axis], radices)):
+        return pallas_fft.fft_1d_complex(c, axis=axis, inverse=inverse,
+                                         radices=radices,
+                                         precision=params.precision)
+    return fft_1d(c, axis=axis, inverse=inverse, radices=radices)
 
 
 def _ring_all_to_all(x, axis_name: str, split_axis: int, concat_axis: int, size: int):
@@ -125,11 +139,11 @@ def pencil_pipeline(
     ``first_fn``/``last_fn`` override the local transform on the first/last
     axis (used for r2c/c2r folding).
     """
-    do_first = first_fn or (lambda c: fft_1d(c, axis=a_first, inverse=inverse,
-                                             radices=rad_first))
-    do_last = last_fn or (lambda c: fft_1d(c, axis=a_last, inverse=inverse,
-                                           radices=rad_last))
-    do_mid = lambda c: fft_1d(c, axis=a_mid, inverse=inverse, radices=rad_mid)
+    do_first = first_fn or (lambda c: axis_fft(c, a_first, inverse,
+                                               rad_first, params))
+    do_last = last_fn or (lambda c: axis_fft(c, a_last, inverse,
+                                             rad_last, params))
+    do_mid = lambda c: axis_fft(c, a_mid, inverse, rad_mid, params)
 
     # ---- phase 1: chunk along a_last; fft(a_first) + exchange a_first<->a_mid
     n_last_local = xl.shape[a_last]

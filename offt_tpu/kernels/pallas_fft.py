@@ -37,7 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import dft
 
-_HIGHEST = jax.lax.Precision.HIGHEST
+# Default MXU precision for the DFT contractions. "highest" (bf16x6) is
+# required for the 1e-6 fp32 target; the tuner may trade it down via the
+# precision argument for error-tolerant workloads.
+DEFAULT_PRECISION = "highest"
 
 
 def _interpret() -> bool:
@@ -89,7 +92,8 @@ def _pick_2stage(n: int, radices=None) -> tuple[int, int] | None:
 # kernel routes the transform axis through sublanes.
 # --------------------------------------------------------------------------
 
-def _sublane_core(xr, xi, f1r, f1i, f2r, f2i, twr, twi, r1: int, r2: int):
+def _sublane_core(xr, xi, f1r, f1i, f2r, f2i, twr, twi, r1: int, r2: int,
+                  precision: str = DEFAULT_PRECISION):
     """FFT over the first axis of (N, L) planar vectors; natural output
     order (flat index k2*r1 + k1 falls out of the reshape)."""
     n = r1 * r2
@@ -100,7 +104,7 @@ def _sublane_core(xr, xi, f1r, f1i, f2r, f2i, twr, twi, r1: int, r2: int):
     def dot_a(f, a):  # contract n1: (r1, r1) x (r1, r2*L)
         return jax.lax.dot_general(
             f, a.reshape(r1, r2 * lanes), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HIGHEST,
+            preferred_element_type=jnp.float32, precision=precision,
         ).reshape(r1, r2, lanes)
 
     ar, ai = _cdot(f1r, f1i, xr, xi, dot_a)
@@ -111,7 +115,7 @@ def _sublane_core(xr, xi, f1r, f1i, f2r, f2i, twr, twi, r1: int, r2: int):
         def dot_b(f, a):  # contract n2: (r2, r2) x (r1, r2, L) -> (k2, k1, L)
             return jax.lax.dot_general(
                 f, a, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HIGHEST)
+                preferred_element_type=jnp.float32, precision=precision)
         cr, ci = _cdot(f2r, f2i, br, bi, dot_b)
     else:
         cr, ci = br, bi
@@ -123,16 +127,17 @@ def _sublane_core(xr, xi, f1r, f1i, f2r, f2i, twr, twi, r1: int, r2: int):
 # --------------------------------------------------------------------------
 
 def _last_kernel(xr_ref, xi_ref, f1r, f1i, f2r, f2i, twr, twi, or_ref, oi_ref,
-                 *, r1: int, r2: int):
+                 *, r1: int, r2: int, precision: str = DEFAULT_PRECISION):
     yr, yi = _sublane_core(xr_ref[:].T, xi_ref[:].T,
                            f1r[:], f1i[:], f2r[:], f2i[:], twr[:], twi[:],
-                           r1, r2)
+                           r1, r2, precision)
     or_ref[:] = yr.T
     oi_ref[:] = yi.T
 
 
 def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
-             radices=None, block_rows: int = 0):
+             radices=None, block_rows: int = 0,
+             precision: str = DEFAULT_PRECISION):
     """Batched FFT along the last axis of planar (..., N) float32 arrays.
 
     Returns (yr, yi). No 1/N scaling on inverse (caller handles, matching
@@ -158,7 +163,7 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     t = _tables(n, r1, inverse)
     consts = [jnp.asarray(t[k]) for k in
               ("f1r", "f1i", "f2r", "f2i", "twr", "twi")]
-    kernel = functools.partial(_last_kernel, r1=r1, r2=r2)
+    kernel = functools.partial(_last_kernel, r1=r1, r2=r2, precision=precision)
     grid = (bp // tb,)
     row_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -184,17 +189,19 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
 # --------------------------------------------------------------------------
 
 def _sublane_kernel(xr_ref, xi_ref, f1r, f1i, f2r, f2i, twr, twi,
-                    or_ref, oi_ref, *, r1: int, r2: int):
+                    or_ref, oi_ref, *, r1: int, r2: int,
+                    precision: str = DEFAULT_PRECISION):
     # refs are (1, N, lanes) blocks
     yr, yi = _sublane_core(xr_ref[0], xi_ref[0],
                            f1r[:], f1i[:], f2r[:], f2i[:], twr[:], twi[:],
-                           r1, r2)
+                           r1, r2, precision)
     or_ref[0] = yr
     oi_ref[0] = yi
 
 
 def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
-                inverse: bool = False, radices=None, block_lanes: int = 0):
+                inverse: bool = False, radices=None, block_lanes: int = 0,
+                precision: str = DEFAULT_PRECISION):
     """Batched FFT along any non-last axis of planar float32 arrays.
 
     The array is viewed as (prefix, N, lanes) with lanes = product of the
@@ -224,7 +231,8 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
     t = _tables(n, r1, inverse)
     consts = [jnp.asarray(t[k]) for k in
               ("f1r", "f1i", "f2r", "f2i", "twr", "twi")]
-    kernel = functools.partial(_sublane_kernel, r1=r1, r2=r2)
+    kernel = functools.partial(_sublane_kernel, r1=r1, r2=r2,
+                               precision=precision)
     grid = (pre, lanes // tl)
     blk = pl.BlockSpec((1, n, tl), lambda i, j: (i, 0, j),
                        memory_space=pltpu.VMEM)
@@ -252,14 +260,17 @@ def can_use_pallas(n: int, radices=None) -> bool:
 
 
 def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
-                  radices=None, scale: bool = True):
+                  radices=None, scale: bool = True,
+                  precision: str = DEFAULT_PRECISION):
     """Planar 1-D FFT along ``axis`` (numpy fft/ifft semantics)."""
     axis = axis % xr.ndim
     n = xr.shape[axis]
     if axis == xr.ndim - 1:
-        yr, yi = fft_last(xr, xi, inverse=inverse, radices=radices)
+        yr, yi = fft_last(xr, xi, inverse=inverse, radices=radices,
+                          precision=precision)
     else:
-        yr, yi = fft_sublane(xr, xi, axis, inverse=inverse, radices=radices)
+        yr, yi = fft_sublane(xr, xi, axis, inverse=inverse, radices=radices,
+                             precision=precision)
     if inverse and scale:
         yr = yr / n
         yi = yi / n
@@ -267,16 +278,28 @@ def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
 
 
 def fft3d_planar(xr, xi, inverse: bool = False,
-                 rad_z=None, rad_y=None, rad_x=None):
+                 rad_z=None, rad_y=None, rad_x=None,
+                 precision: str = DEFAULT_PRECISION):
     """Full 3-D c2c transform on planar arrays: exactly 3 HBM round trips
     (one fused kernel per axis, no transposes)."""
     ax, ay, az = xr.ndim - 3, xr.ndim - 2, xr.ndim - 1
+    kw = {"precision": precision}
     if not inverse:
-        xr, xi = fft_1d_planar(xr, xi, az, radices=rad_z)
-        xr, xi = fft_1d_planar(xr, xi, ay, radices=rad_y)
-        xr, xi = fft_1d_planar(xr, xi, ax, radices=rad_x)
+        xr, xi = fft_1d_planar(xr, xi, az, radices=rad_z, **kw)
+        xr, xi = fft_1d_planar(xr, xi, ay, radices=rad_y, **kw)
+        xr, xi = fft_1d_planar(xr, xi, ax, radices=rad_x, **kw)
         return xr, xi
-    xr, xi = fft_1d_planar(xr, xi, ax, inverse=True, radices=rad_x)
-    xr, xi = fft_1d_planar(xr, xi, ay, inverse=True, radices=rad_y)
-    xr, xi = fft_1d_planar(xr, xi, az, inverse=True, radices=rad_z)
+    xr, xi = fft_1d_planar(xr, xi, ax, inverse=True, radices=rad_x, **kw)
+    xr, xi = fft_1d_planar(xr, xi, ay, inverse=True, radices=rad_y, **kw)
+    xr, xi = fft_1d_planar(xr, xi, az, inverse=True, radices=rad_z, **kw)
     return xr, xi
+
+
+def fft_1d_complex(x, axis: int = -1, inverse: bool = False, radices=None,
+                   scale: bool = True, precision: str = DEFAULT_PRECISION):
+    """Complex-array wrapper over the planar kernels (for call sites that
+    carry complex64 values inside jit, e.g. the distributed pipeline)."""
+    yr, yi = fft_1d_planar(jnp.real(x), jnp.imag(x), axis=axis,
+                           inverse=inverse, radices=radices, scale=scale,
+                           precision=precision)
+    return jax.lax.complex(yr, yi)

@@ -70,20 +70,23 @@ def _planarize(fn, in_planar: bool, out_planar: bool):
 
 
 def _local_fft3d(x, inverse: bool, real: bool, nz: int, params: PlanParams):
-    """Single-device 3-D transform: three axis passes, XLA fuses layouts."""
+    """Single-device 3-D transform: three axis passes (fused Pallas kernels
+    when params.use_pallas, else the unfused matmul path)."""
+    from ..dist.pencil import axis_fft
+
     ax, ay, az = x.ndim - 3, x.ndim - 2, x.ndim - 1
     if not inverse:
         if real:
             x = rfft_1d(x, axis=az, radices=params.radix_z)
         else:
-            x = fft_1d(x, axis=az, radices=params.radix_z)
-        x = fft_1d(x, axis=ay, radices=params.radix_y)
-        return fft_1d(x, axis=ax, radices=params.radix_x)
-    x = fft_1d(x, axis=ax, inverse=True, radices=params.radix_x)
-    x = fft_1d(x, axis=ay, inverse=True, radices=params.radix_y)
+            x = axis_fft(x, az, False, params.radix_z, params)
+        x = axis_fft(x, ay, False, params.radix_y, params)
+        return axis_fft(x, ax, False, params.radix_x, params)
+    x = axis_fft(x, ax, True, params.radix_x, params)
+    x = axis_fft(x, ay, True, params.radix_y, params)
     if real:
         return irfft_1d(x, n=nz, axis=az, radices=params.radix_z)
-    return fft_1d(x, axis=az, inverse=True, radices=params.radix_z)
+    return axis_fft(x, az, True, params.radix_z, params)
 
 
 @dataclasses.dataclass
@@ -241,6 +244,21 @@ def _jit_plan_fn(spec: ProblemSpec, raw_fn, in_shard, out_shard, planar: bool):
 
 def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
               planar: bool = False):
+    # planar-native fast path: local c2c with fused kernels never touches a
+    # complex dtype at all (zero conversion passes)
+    if (planar and mesh is None and not spec.real and params.use_pallas
+            and spec.dtype == "complex64"):
+        from ..kernels import pallas_fft as pf
+
+        if all(pf.can_use_pallas(n, r) for n, r in
+               zip(spec.shape, (params.radix_x, params.radix_y,
+                                params.radix_z))):
+            def fn(re, im):
+                return pf.fft3d_planar(
+                    re, im, inverse=spec.inverse,
+                    rad_z=params.radix_z, rad_y=params.radix_y,
+                    rad_x=params.radix_x, precision=params.precision)
+            return jax.jit(fn), True
     raw_fn, in_shard, out_shard = _build_raw(spec, params, mesh, ndim)
     return _jit_plan_fn(spec, raw_fn, in_shard, out_shard, planar)
 

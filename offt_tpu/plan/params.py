@@ -68,6 +68,10 @@ class PlanParams:
     use_pallas: int = 0
     # batch tile (pencils per Pallas block); 0 = auto
     block_batch: int = 0
+    # MXU precision for DFT contractions: 'highest' (bf16x6, 1e-7-grade) |
+    # 'high' (bf16x3) | 'default' (single bf16 pass, ~1e-3 — error-tolerant
+    # workloads only)
+    precision: str = "highest"
 
     def astuple(self) -> tuple:
         return dataclasses.astuple(self)
@@ -134,14 +138,27 @@ def default_params(spec: ProblemSpec, p1: Optional[int] = None) -> PlanParams:
         # prefer near-square grid (balanced all_to_all volume per phase)
         root = int(math.sqrt(spec.p))
         p1 = min(cands, key=lambda d: (abs(d - root), d))
+    # fused Pallas kernels by default on TPU when every axis is 2-stage
+    # expressible (strictly fewer HBM passes than the unfused path)
+    use_pallas = 0
+    if spec.dtype in ("complex64", "float32"):
+        try:
+            import jax
+            from ..kernels.pallas_fft import can_use_pallas
+            if jax.default_backend() == "tpu" and all(
+                    can_use_pallas(n) for n in (nx, ny, nz)):
+                use_pallas = 1
+        except Exception:
+            pass
     if spec.p == 1:
-        return PlanParams(p1=1)
+        return PlanParams(p1=1, use_pallas=use_pallas)
     # modest pipelining by default, mirroring the reference's W=2 heuristic
     # (offt-compute.c:3127-3225); tiles bounded by the per-device extents
     p2 = spec.p // p1
     t1 = min(4, max(1, nx // max(p1, 1)))
     t2 = min(4, max(1, spec.nz_freq // max(p2, 1)))
-    return PlanParams(p1=p1, t1=t1, t2=t2, w1=min(2, t1), w2=min(2, t2))
+    return PlanParams(p1=p1, t1=t1, t2=t2, w1=min(2, t1), w2=min(2, t2),
+                      use_pallas=use_pallas)
 
 
 def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:

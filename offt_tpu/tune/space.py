@@ -123,6 +123,7 @@ def build_space(
     fixed_p1: Optional[int] = None,
     include_radix: bool = True,
     max_tile: int = 16,
+    include_pallas: Optional[bool] = None,
 ) -> SearchSpace:
     """The TPU plan search space (SURVEY.md §2c surviving-knob mapping)."""
     nx, ny, nz = spec.shape
@@ -148,6 +149,14 @@ def build_space(
                                                            else nz // 2)))
         dims.append(Dimension("radix_y", _radix_candidates(ny)))
         dims.append(Dimension("radix_x", _radix_candidates(nx)))
+    if include_pallas is None:
+        try:
+            import jax
+            include_pallas = jax.default_backend() == "tpu"
+        except Exception:
+            include_pallas = False
+    if include_pallas and spec.dtype in ("complex64", "float32"):
+        dims.append(Dimension("use_pallas", (0, 1)))
     return SearchSpace(spec=spec, dims=tuple(dims))
 
 

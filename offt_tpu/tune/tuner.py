@@ -164,10 +164,14 @@ class Tuner:
             self.trials.append(TrialRecord(point, params, perf, status))
             self.log.emit("trial", point=list(point), perf=perf, status=status)
             self.strategy.analyze(point, perf)
-        best = self.strategy.best()
-        if best is None:
+        # the tuner's own DB is authoritative for "best measured point"
+        # (strategies may track best over *snapped* retries differently)
+        if not self.db:
             return None, INF
-        return self.space.to_params(best), self.db.get(tuple(best), INF)
+        best_pt, best_perf = min(self.db.items(), key=lambda kv: kv[1])
+        if best_perf == INF:
+            return None, INF
+        return self.space.to_params(best_pt), best_perf
 
 
 def tune(
