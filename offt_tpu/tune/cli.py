@@ -75,6 +75,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--native", action="store_true",
                    help="use the C++ engine instead of Python strategies")
+    p.add_argument("--server", default="",
+                   help="host:port of a running tuning service (the "
+                        "hserver-parity mode; tuna.c auto-spawn analogue)")
     p.add_argument("--log", default="", help="JSONL trial log path")
     p.add_argument("--pyfn", default="",
                    help="module:function objective instead of a command")
@@ -123,7 +126,14 @@ def main(argv=None):
                 return INF
             return wall
 
-    if ns.native:
+    if ns.server:
+        from .client import ServiceClient
+        host, _, port = ns.server.partition(":")
+        strategy = ServiceClient(host or "127.0.0.1", int(port or 1979))
+        strategy.create_session([(d.name, list(range(len(d.values))))
+                                 for d in dims],
+                                strategy=ns.strategy, seed=ns.seed)
+    elif ns.native:
         from .engine_cpp import make_native_strategy
         strategy = make_native_strategy(ns.strategy, space, seed=ns.seed)
     else:

@@ -1,0 +1,266 @@
+"""Tuning service: multi-client search sessions over TCP + HTTP monitor.
+
+Re-expression of Active Harmony's ``hserver`` (/root/reference/
+activeharmony/build/hserver.c): a server owning search *sessions* that
+remote clients join, fetch candidate points from, and report performance
+to — with a live monitoring UI served from the same TCP port by protocol
+sniffing (hserver classifies connections by peeking for HMESG_MAGIC,
+hserver.c:413-460; we peek for an HTTP method token).
+
+Differences by design: the wire protocol is JSON-lines instead of the
+magic+length text format (hmesg.c), sessions run strategies in-process
+threads instead of fork/exec'd session-core children, and the monitor
+renders an inline SVG chart instead of flot.js. Semantics preserved:
+- session create with a declared space (name:values dims), strategy choice
+- fetch -> point, report(point, perf), best, converged  (hclient.h API)
+- per-session trial history with timestamps for the UI (hserver.c:520-555)
+
+Run:  python -m offt_tpu.tune.service --port 1979
+Client: offt_tpu.tune.client.ServiceClient (or the offt-tune CLI with
+--server host:port).
+"""
+
+from __future__ import annotations
+
+import argparse
+import html
+import json
+import socket
+import socketserver
+import threading
+import time
+from typing import Optional
+
+from ..plan.params import ProblemSpec
+from .space import Dimension
+from .strategies import make_strategy
+from .synth import _SynthSpace
+
+DEFAULT_PORT = 1979  # the reference's default (defaults.h:24)
+
+
+class Session:
+    def __init__(self, sid: int, name: str, dims, strategy: str, seed: int):
+        self.sid = sid
+        self.name = name
+        space = _SynthSpace(spec=ProblemSpec(shape=(1, 1, 1)),
+                            dims=tuple(Dimension(n, tuple(v)) for n, v in dims))
+        self.space = space
+        self.strategy = make_strategy(strategy, space, seed=seed)
+        self.lock = threading.Lock()
+        self.history: list[tuple[float, list, float]] = []
+        self.outstanding: set = set()
+
+    def fetch(self) -> Optional[tuple]:
+        with self.lock:
+            pt = self.strategy.generate()
+            if pt is not None:
+                self.outstanding.add(tuple(pt))
+            return pt
+
+    def report(self, point, perf: float):
+        with self.lock:
+            pt = tuple(point)
+            self.outstanding.discard(pt)
+            self.strategy.analyze(pt, float(perf))
+            self.history.append((time.time(), list(point), float(perf)))
+
+    def reject(self, point):
+        with self.lock:
+            pt = tuple(point)
+            self.outstanding.discard(pt)
+            self.strategy.rejected(pt)
+
+    def best(self):
+        with self.lock:
+            pt = self.strategy.best()
+            if pt is None:
+                return None, None
+            vals = self.space.to_params(pt)
+            perfs = [p for _, q, p in self.history if tuple(q) == tuple(pt)]
+            return list(vals), (min(perfs) if perfs else None)
+
+    def converged(self) -> bool:
+        with self.lock:
+            return self.strategy.converged()
+
+
+class TuningServer:
+    def __init__(self, host: str = "127.0.0.1", port: int = DEFAULT_PORT):
+        self.sessions: dict[int, Session] = {}
+        self._next_sid = 1
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                outer._handle_conn(self.request)
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._srv = Server((host, port), Handler)
+        self.host, self.port = self._srv.server_address
+
+    # ---- connection sniffing (hserver.c handle_unknown_connection) ------
+    def _handle_conn(self, sock: socket.socket):
+        head = sock.recv(8, socket.MSG_PEEK)
+        if head[:4] in (b"GET ", b"HEAD", b"POST"):
+            self._handle_http(sock)
+        else:
+            self._handle_client(sock)
+
+    # ---- JSON-lines tuning protocol ------------------------------------
+    def _handle_client(self, sock: socket.socket):
+        fh = sock.makefile("rwb")
+        try:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    msg = json.loads(line)
+                    reply = self._dispatch(msg)
+                except Exception as e:
+                    reply = {"status": "FAIL", "error": repr(e)}
+                fh.write((json.dumps(reply) + "\n").encode())
+                fh.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+
+    def _dispatch(self, msg: dict) -> dict:
+        op = msg.get("op")
+        if op == "session":
+            with self._lock:
+                sid = self._next_sid
+                self._next_sid += 1
+                self.sessions[sid] = Session(
+                    sid, msg.get("name", f"session-{sid}"),
+                    [(d["name"], d["values"]) for d in msg["dims"]],
+                    msg.get("strategy", "nm"), int(msg.get("seed", 0)))
+            return {"status": "OK", "session": sid}
+        sid = int(msg.get("session", 0))
+        sess = self.sessions.get(sid)
+        if sess is None:
+            return {"status": "FAIL", "error": f"no session {sid}"}
+        if op == "fetch":
+            pt = sess.fetch()
+            if pt is None:
+                return {"status": "BUSY"}  # hclient BUSY -> reuse best
+            return {"status": "OK", "point": list(pt),
+                    "values": list(sess.space.to_params(pt))}
+        if op == "report":
+            sess.report(msg["point"], msg["perf"])
+            return {"status": "OK"}
+        if op == "reject":
+            sess.reject(msg["point"])
+            return {"status": "OK"}
+        if op == "best":
+            vals, perf = sess.best()
+            return {"status": "OK", "values": vals, "perf": perf}
+        if op == "converged":
+            return {"status": "OK", "converged": sess.converged()}
+        if op == "leave":
+            return {"status": "OK"}
+        return {"status": "FAIL", "error": f"unknown op {op!r}"}
+
+    # ---- HTTP monitor (httpsvr.c + overview.cgi/session-view.cgi) -------
+    def _handle_http(self, sock: socket.socket):
+        data = sock.recv(4096).decode("latin-1")
+        path = data.split(" ")[1] if " " in data else "/"
+        if path.startswith("/session/"):
+            try:
+                body = self._session_page(int(path.split("/")[2]))
+            except (ValueError, KeyError):
+                body, status = "not found", "404 Not Found"
+                self._http_reply(sock, body, status)
+                return
+        elif path.startswith("/api/sessions"):
+            body = json.dumps([
+                {"id": s.sid, "name": s.name, "trials": len(s.history),
+                 "converged": s.converged()}
+                for s in self.sessions.values()])
+            self._http_reply(sock, body, ctype="application/json")
+            return
+        else:
+            body = self._overview_page()
+        self._http_reply(sock, body)
+
+    @staticmethod
+    def _http_reply(sock, body: str, status="200 OK", ctype="text/html"):
+        payload = body.encode()
+        hdr = (f"HTTP/1.0 {status}\r\nContent-Type: {ctype}\r\n"
+               f"Content-Length: {len(payload)}\r\n\r\n")
+        try:
+            sock.sendall(hdr.encode() + payload)
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+
+    def _overview_page(self) -> str:
+        rows = "".join(
+            f"<tr><td><a href='/session/{s.sid}'>{html.escape(s.name)}</a>"
+            f"</td><td>{len(s.history)}</td><td>{s.converged()}</td></tr>"
+            for s in self.sessions.values())
+        return ("<html><head><title>offt-tpu tuning</title></head><body>"
+                "<h2>offt-tpu tuning sessions</h2>"
+                "<table border=1><tr><th>session</th><th>trials</th>"
+                f"<th>converged</th></tr>{rows}</table></body></html>")
+
+    def _session_page(self, sid: int) -> str:
+        s = self.sessions[sid]
+        hist = list(s.history)
+        pts = ""
+        if hist:
+            t0 = hist[0][0]
+            perfs = [p for _, _, p in hist if p == p and p != float("inf")]
+            if perfs:
+                lo, hi = min(perfs), max(perfs)
+                span = (hi - lo) or 1.0
+                pts = " ".join(
+                    f"{(t - t0) / max(hist[-1][0] - t0, 1e-9) * 560 + 20:.1f},"
+                    f"{180 - (p - lo) / span * 160:.1f}"
+                    for t, _, p in hist if p == p and p != float("inf"))
+        rows = "".join(
+            f"<tr><td>{time.strftime('%H:%M:%S', time.localtime(t))}</td>"
+            f"<td>{q}</td><td>{p:.6g}</td></tr>"
+            for t, q, p in hist[-200:])
+        best_vals, best_perf = s.best()
+        return (f"<html><body><h2>{html.escape(s.name)}</h2>"
+                f"<p>best: {best_vals} perf={best_perf}</p>"
+                f"<svg width=600 height=200 style='border:1px solid #ccc'>"
+                f"<polyline fill='none' stroke='#36c' points='{pts}'/></svg>"
+                f"<table border=1><tr><th>time</th><th>point</th>"
+                f"<th>perf</th></tr>{rows}</table></body></html>")
+
+    # ---- lifecycle -------------------------------------------------------
+    def serve_forever(self):
+        self._srv.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        th = threading.Thread(target=self.serve_forever, daemon=True)
+        th.start()
+        return th
+
+    def shutdown(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="offt-tune-server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=DEFAULT_PORT)
+    ns = p.parse_args(argv)
+    srv = TuningServer(ns.host, ns.port)
+    print(f"offt-tpu tuning server on {srv.host}:{srv.port} "
+          f"(HTTP monitor on the same port)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
