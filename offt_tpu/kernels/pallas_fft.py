@@ -5,19 +5,19 @@ The unfused matmul path (stockham.py) costs ~3-5 HBM passes per axis
 the full 1-or-2-stage mixed-radix transform in VMEM, so each axis of a 3-D
 FFT is exactly one HBM read + one write:
 
-- ``fft_last``:  transform along the last (lane) axis. Per block, the
-  (TB, N) tile is reshaped (TB, r1, r2), stage A contracts r1 on the MXU,
-  a twiddle multiply runs on the VPU, stage B contracts r2, and the
-  (k2, k1) output order falls out of the final reshape.
-- ``fft_sublane``: transform along the second-to-last (sublane) axis of a
-  (N, L) tile — used for the y and x axes of a 3-D array *without any
-  transposes at all*: both stages are sublane-axis contractions
-  (einsum('kn,nml->kml')), which Mosaic maps straight onto the MXU.
+- ``fft_sublane``: transform along any non-last axis of a (N, L) tile —
+  used for the y and x axes of a 3-D array *without any transposes at
+  all*: both radix stages are sublane-axis MXU contractions and the
+  natural output order falls out of the final reshape.
+- ``fft_last``: transform along the last (lane) axis — the same core
+  wrapped in a VMEM transpose sandwich (lanes cannot be split in-register).
 
 Everything is planar (separate float32 real/imag arrays): TPU Pallas has no
 complex dtype, and some TPU runtimes cannot transfer complex arrays at all.
-Complex matmuls use the 4-real-dot expansion with precision=HIGHEST
-(bf16x6) — measured 1.9e-7 rel err at 256^3 vs 5e-3 with the default.
+Each complex radix stage is ONE folded real matmul [[Fr,-Fi],[Fi,Fr]] @
+[re; im] (doubled contraction depth = 2x MXU utilization at sub-128
+radices) at precision=HIGHEST (bf16x6) — measured 1.7e-7 rel err at 256^3
+on v5e vs 5e-3 with default precision.
 
 Reference parity note: this subsumes the FFTW 1-D plan cache + explicit
 pack/unpack/transpose kernels of rchyena/offt (offt-compute.c:329-489,
@@ -47,18 +47,27 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _fold_complex(f: np.ndarray) -> np.ndarray:
+    """Real block matrix G = [[Fr, -Fi], [Fi, Fr]] so that
+    G @ [re; im] == [Re(F@x); Im(F@x)] — one real matmul with doubled
+    contraction depth instead of 4 small ones (2x MXU utilization at
+    sub-128 radices, 4x fewer dot launches)."""
+    top = np.concatenate([f.real, -f.imag], axis=1)
+    bot = np.concatenate([f.imag, f.real], axis=1)
+    return np.concatenate([top, bot], axis=0)
+
+
 @functools.lru_cache(maxsize=None)
 def _tables(n: int, r1: int, inverse: bool):
-    """Planar f32 DFT matrices + (transposed) twiddles for n = r1 * r2."""
+    """Folded f32 DFT matrices + twiddles for n = r1 * r2."""
     r2 = n // r1
     f1 = dft.dft_matrix(r1, np.complex128, inverse)
     f2 = dft.dft_matrix(r2, np.complex128, inverse)
     tw = dft.twiddles(r1, r2, np.complex128, inverse)  # (r1, r2)
     out = {
-        "f1r": f1.real, "f1i": f1.imag,
-        "f2r": f2.real, "f2i": f2.imag,
-        "twr": tw.real, "twi": tw.imag,            # (r1, r2) for sublane
-        "twtr": tw.T.real, "twti": tw.T.imag,      # (r2, r1) for last-axis
+        "g1": _fold_complex(f1),                   # (2r1, 2r1)
+        "g2": _fold_complex(f2),                   # (2r2, 2r2)
+        "twr": tw.real, "twi": tw.imag,            # (r1, r2)
     }
     return {k: v.astype(np.float32) for k, v in out.items()}
 
@@ -92,44 +101,52 @@ def _pick_2stage(n: int, radices=None) -> tuple[int, int] | None:
 # kernel routes the transform axis through sublanes.
 # --------------------------------------------------------------------------
 
-def _sublane_core(xr, xi, f1r, f1i, f2r, f2i, twr, twi, r1: int, r2: int,
+def _sublane_core(xr, xi, g1, g2, twr, twi, r1: int, r2: int,
                   precision: str = DEFAULT_PRECISION):
     """FFT over the first axis of (N, L) planar vectors; natural output
-    order (flat index k2*r1 + k1 falls out of the reshape)."""
+    order (flat index k2*r1 + k1 falls out of the reshape).
+
+    Both radix stages are single *folded* real matmuls (see _fold_complex):
+    stage A contracts the stacked [re; im] n1 rows (depth 2*r1), stage B
+    the stacked n2 rows (depth 2*r2)."""
     n = r1 * r2
     lanes = xr.shape[-1]
-    xr = xr.reshape(r1, r2, lanes)
-    xi = xi.reshape(r1, r2, lanes)
+    xs = jnp.concatenate(
+        [xr.reshape(r1, r2, lanes), xi.reshape(r1, r2, lanes)], axis=0)
 
-    def dot_a(f, a):  # contract n1: (r1, r1) x (r1, r2*L)
-        return jax.lax.dot_general(
-            f, a.reshape(r1, r2 * lanes), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        ).reshape(r1, r2, lanes)
+    # stage A: (2r1, 2r1) @ (2r1, r2*L) -> [Yr(k1); Yi(k1)]
+    a = jax.lax.dot_general(
+        g1, xs.reshape(2 * r1, r2 * lanes), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ).reshape(2 * r1, r2, lanes)
+    ar, ai = a[:r1], a[r1:]
 
-    ar, ai = _cdot(f1r, f1i, xr, xi, dot_a)
-    br = ar * twr[:, :, None] - ai * twi[:, :, None]
-    bi = ar * twi[:, :, None] + ai * twr[:, :, None]
+    # twiddle (VPU)
+    twr = twr[:, :, None]
+    twi = twi[:, :, None]
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
 
-    if r2 > 1:
-        def dot_b(f, a):  # contract n2: (r2, r2) x (r1, r2, L) -> (k2, k1, L)
-            return jax.lax.dot_general(
-                f, a, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
-        cr, ci = _cdot(f2r, f2i, br, bi, dot_b)
-    else:
-        cr, ci = br, bi
-    return cr.reshape(n, lanes), ci.reshape(n, lanes)
+    if r2 == 1:
+        return br.reshape(n, lanes), bi.reshape(n, lanes)
+
+    # stage B: stack re/im along n2, contract depth 2*r2
+    bs = jnp.concatenate([br, bi], axis=1)          # (r1, 2r2, L)
+    c = jax.lax.dot_general(
+        g2, bs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )                                                # (2r2, r1, L)
+    return c[:r2].reshape(n, lanes), c[r2:].reshape(n, lanes)
 
 
 # --------------------------------------------------------------------------
 # last-axis kernel: VMEM-transpose sandwich around the sublane core
 # --------------------------------------------------------------------------
 
-def _last_kernel(xr_ref, xi_ref, f1r, f1i, f2r, f2i, twr, twi, or_ref, oi_ref,
+def _last_kernel(xr_ref, xi_ref, g1, g2, twr, twi, or_ref, oi_ref,
                  *, r1: int, r2: int, precision: str = DEFAULT_PRECISION):
     yr, yi = _sublane_core(xr_ref[:].T, xi_ref[:].T,
-                           f1r[:], f1i[:], f2r[:], f2i[:], twr[:], twi[:],
+                           g1[:], g2[:], twr[:], twi[:],
                            r1, r2, precision)
     or_ref[:] = yr.T
     oi_ref[:] = yi.T
@@ -161,8 +178,7 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
         xr2 = jnp.pad(xr2, ((0, bp - b), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, bp - b), (0, 0)))
     t = _tables(n, r1, inverse)
-    consts = [jnp.asarray(t[k]) for k in
-              ("f1r", "f1i", "f2r", "f2i", "twr", "twi")]
+    consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
     kernel = functools.partial(_last_kernel, r1=r1, r2=r2, precision=precision)
     grid = (bp // tb,)
     row_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
@@ -188,12 +204,12 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
 # sublane-axis kernel (y / x axes of a 3-D array: zero transposes)
 # --------------------------------------------------------------------------
 
-def _sublane_kernel(xr_ref, xi_ref, f1r, f1i, f2r, f2i, twr, twi,
+def _sublane_kernel(xr_ref, xi_ref, g1, g2, twr, twi,
                     or_ref, oi_ref, *, r1: int, r2: int,
                     precision: str = DEFAULT_PRECISION):
     # refs are (1, N, lanes) blocks
     yr, yi = _sublane_core(xr_ref[0], xi_ref[0],
-                           f1r[:], f1i[:], f2r[:], f2i[:], twr[:], twi[:],
+                           g1[:], g2[:], twr[:], twi[:],
                            r1, r2, precision)
     or_ref[0] = yr
     oi_ref[0] = yi
@@ -229,8 +245,7 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
             tl //= 2
         tl = max(tl, 1)
     t = _tables(n, r1, inverse)
-    consts = [jnp.asarray(t[k]) for k in
-              ("f1r", "f1i", "f2r", "f2i", "twr", "twi")]
+    consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
     kernel = functools.partial(_sublane_kernel, r1=r1, r2=r2,
                                precision=precision)
     grid = (pre, lanes // tl)
@@ -284,12 +299,22 @@ def fft3d_planar(xr, xi, inverse: bool = False,
     (one fused kernel per axis, no transposes)."""
     ax, ay, az = xr.ndim - 3, xr.ndim - 2, xr.ndim - 1
     kw = {"precision": precision}
+    ny, nz = xr.shape[ay], xr.shape[az]
+    fuse = can_fuse_slab(ny, nz, rad_y, rad_z)
     if not inverse:
-        xr, xi = fft_1d_planar(xr, xi, az, radices=rad_z, **kw)
-        xr, xi = fft_1d_planar(xr, xi, ay, radices=rad_y, **kw)
+        if fuse:
+            xr, xi = fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z, **kw)
+        else:
+            xr, xi = fft_1d_planar(xr, xi, az, radices=rad_z, **kw)
+            xr, xi = fft_1d_planar(xr, xi, ay, radices=rad_y, **kw)
         xr, xi = fft_1d_planar(xr, xi, ax, radices=rad_x, **kw)
         return xr, xi
     xr, xi = fft_1d_planar(xr, xi, ax, inverse=True, radices=rad_x, **kw)
+    if fuse:
+        xr, xi = fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
+                             rad_z=rad_z, **kw)
+        scale = 1.0 / (ny * nz)
+        return xr * scale, xi * scale
     xr, xi = fft_1d_planar(xr, xi, ay, inverse=True, radices=rad_y, **kw)
     xr, xi = fft_1d_planar(xr, xi, az, inverse=True, radices=rad_z, **kw)
     return xr, xi
@@ -303,3 +328,72 @@ def fft_1d_complex(x, axis: int = -1, inverse: bool = False, radices=None,
                            inverse=inverse, radices=radices, scale=scale,
                            precision=precision)
     return jax.lax.complex(yr, yi)
+
+
+# --------------------------------------------------------------------------
+# fused (y, z) slab kernel: two axes in ONE HBM round trip.
+# Per x-row, the whole (Y, Z) slab lives in VMEM: transform z via the
+# transpose sandwich, then y directly on sublanes. A 3-D FFT becomes
+# 2 HBM round trips total (slab + x-axis) instead of 3.
+# --------------------------------------------------------------------------
+
+# conservative VMEM budget for one (Y, Z) planar slab + stage intermediates
+_SLAB_VMEM_LIMIT = 512 * 512
+
+
+def _slab_kernel(xr_ref, xi_ref, g1z, g2z, twrz, twiz, g1y, g2y, twry, twiy,
+                 or_ref, oi_ref, *, rz: tuple, ry: tuple,
+                 precision: str = DEFAULT_PRECISION):
+    xr = xr_ref[0]            # (Y, Z)
+    xi = xi_ref[0]
+    # z transform: put z on sublanes
+    zr, zi = _sublane_core(xr.T, xi.T, g1z[:], g2z[:], twrz[:], twiz[:],
+                           rz[0], rz[1], precision)          # (Z, Y)
+    # y transform: transpose back so y is on sublanes
+    yr, yi = _sublane_core(zr.T, zi.T, g1y[:], g2y[:], twry[:], twiy[:],
+                           ry[0], ry[1], precision)          # (Y, Z)
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+def can_fuse_slab(ny: int, nz: int, rad_y=None, rad_z=None) -> bool:
+    return (ny * nz <= _SLAB_VMEM_LIMIT
+            and _pick_2stage(ny, rad_y) is not None
+            and _pick_2stage(nz, rad_z) is not None)
+
+
+def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
+                rad_y=None, rad_z=None,
+                precision: str = DEFAULT_PRECISION):
+    """FFT along the last TWO axes of planar (..., Y, Z) float32 arrays in a
+    single fused kernel (one HBM read + one write for both axes)."""
+    ny, nz = xr.shape[-2], xr.shape[-1]
+    ry = _pick_2stage(ny, rad_y)
+    rz = _pick_2stage(nz, rad_z)
+    if ry is None or rz is None or ny * nz > _SLAB_VMEM_LIMIT:
+        raise ValueError(f"slab ({ny},{nz}) not fusable")
+    lead = xr.shape[:-2]
+    p = int(np.prod(lead)) if lead else 1
+    shape3 = (p, ny, nz)
+    xr3 = xr.reshape(shape3)
+    xi3 = xi.reshape(shape3)
+    tz = _tables(nz, rz[0], inverse)
+    ty = _tables(ny, ry[0], inverse)
+    consts = [jnp.asarray(v) for v in
+              (tz["g1"], tz["g2"], tz["twr"], tz["twi"],
+               ty["g1"], ty["g2"], ty["twr"], ty["twi"])]
+    kernel = functools.partial(_slab_kernel, rz=rz, ry=ry, precision=precision)
+    blk = pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    const_spec = [pl.BlockSpec(c.shape, lambda i, c=c: (0,) * c.ndim,
+                               memory_space=pltpu.VMEM) for c in consts]
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[blk, blk] + const_spec,
+        out_specs=(blk, blk),
+        out_shape=(jax.ShapeDtypeStruct(shape3, jnp.float32),
+                   jax.ShapeDtypeStruct(shape3, jnp.float32)),
+        interpret=_interpret(),
+    )(xr3, xi3, *consts)
+    return yr.reshape(xr.shape), yi.reshape(xr.shape)
