@@ -54,7 +54,8 @@ def axis_fft(c, axis: int, inverse: bool, radices, params: PlanParams):
             and pallas_fft.can_use_pallas(c.shape[axis], radices)):
         return pallas_fft.fft_1d_complex(c, axis=axis, inverse=inverse,
                                          radices=radices,
-                                         precision=params.precision)
+                                         precision=params.precision,
+                                         block=params.block_batch)
     return fft_1d(c, axis=axis, inverse=inverse, radices=radices)
 
 

@@ -276,16 +276,16 @@ def can_use_pallas(n: int, radices=None) -> bool:
 
 def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
                   radices=None, scale: bool = True,
-                  precision: str = DEFAULT_PRECISION):
+                  precision: str = DEFAULT_PRECISION, block: int = 0):
     """Planar 1-D FFT along ``axis`` (numpy fft/ifft semantics)."""
     axis = axis % xr.ndim
     n = xr.shape[axis]
     if axis == xr.ndim - 1:
         yr, yi = fft_last(xr, xi, inverse=inverse, radices=radices,
-                          precision=precision)
+                          precision=precision, block_rows=block)
     else:
         yr, yi = fft_sublane(xr, xi, axis, inverse=inverse, radices=radices,
-                             precision=precision)
+                             precision=precision, block_lanes=block)
     if inverse and scale:
         yr = yr / n
         yi = yi / n
@@ -294,16 +294,17 @@ def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
 
 def fft3d_planar(xr, xi, inverse: bool = False,
                  rad_z=None, rad_y=None, rad_x=None,
-                 precision: str = DEFAULT_PRECISION):
-    """Full 3-D c2c transform on planar arrays: exactly 3 HBM round trips
-    (one fused kernel per axis, no transposes)."""
+                 precision: str = DEFAULT_PRECISION, block: int = 0):
+    """Full 3-D c2c transform on planar arrays: 2-3 HBM round trips
+    (fused (y,z) slab when it fits VMEM + one kernel per remaining axis)."""
     ax, ay, az = xr.ndim - 3, xr.ndim - 2, xr.ndim - 1
-    kw = {"precision": precision}
+    kw = {"precision": precision, "block": block}
     ny, nz = xr.shape[ay], xr.shape[az]
     fuse = can_fuse_slab(ny, nz, rad_y, rad_z)
     if not inverse:
         if fuse:
-            xr, xi = fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z, **kw)
+            xr, xi = fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z,
+                                 precision=precision)
         else:
             xr, xi = fft_1d_planar(xr, xi, az, radices=rad_z, **kw)
             xr, xi = fft_1d_planar(xr, xi, ay, radices=rad_y, **kw)
@@ -312,7 +313,7 @@ def fft3d_planar(xr, xi, inverse: bool = False,
     xr, xi = fft_1d_planar(xr, xi, ax, inverse=True, radices=rad_x, **kw)
     if fuse:
         xr, xi = fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
-                             rad_z=rad_z, **kw)
+                             rad_z=rad_z, precision=precision)
         scale = 1.0 / (ny * nz)
         return xr * scale, xi * scale
     xr, xi = fft_1d_planar(xr, xi, ay, inverse=True, radices=rad_y, **kw)
@@ -321,12 +322,13 @@ def fft3d_planar(xr, xi, inverse: bool = False,
 
 
 def fft_1d_complex(x, axis: int = -1, inverse: bool = False, radices=None,
-                   scale: bool = True, precision: str = DEFAULT_PRECISION):
+                   scale: bool = True, precision: str = DEFAULT_PRECISION,
+                   block: int = 0):
     """Complex-array wrapper over the planar kernels (for call sites that
     carry complex64 values inside jit, e.g. the distributed pipeline)."""
     yr, yi = fft_1d_planar(jnp.real(x), jnp.imag(x), axis=axis,
                            inverse=inverse, radices=radices, scale=scale,
-                           precision=precision)
+                           precision=precision, block=block)
     return jax.lax.complex(yr, yi)
 
 

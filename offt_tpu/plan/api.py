@@ -257,7 +257,8 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                 return pf.fft3d_planar(
                     re, im, inverse=spec.inverse,
                     rad_z=params.radix_z, rad_y=params.radix_y,
-                    rad_x=params.radix_x, precision=params.precision)
+                    rad_x=params.radix_x, precision=params.precision,
+                    block=params.block_batch)
             return jax.jit(fn), True
     raw_fn, in_shard, out_shard = _build_raw(spec, params, mesh, ndim)
     return _jit_plan_fn(spec, raw_fn, in_shard, out_shard, planar)

@@ -127,6 +127,22 @@ class Tuner:
         self.db: dict[Point, float] = {}
         self.trials: list[TrialRecord] = []
 
+    def load_db(self, log_path: str) -> int:
+        """Resume memoization from a previous run's JSONL trial log — the
+        cross-run upgrade of the reference's per-run tmp-db point database
+        (offt-tuning.c:231-277, deleted at session start)."""
+        from ..obs.log import read_events
+
+        n = 0
+        try:
+            for ev in read_events(log_path):
+                if ev.get("kind") == "trial" and "perf" in ev:
+                    self.db[tuple(ev["point"])] = float(ev["perf"])
+                    n += 1
+        except FileNotFoundError:
+            pass
+        return n
+
     def run(self) -> tuple[Optional[PlanParams], float]:
         feasible = 0
         total = 0
@@ -215,6 +231,10 @@ def tune(
     dflt_point = space.from_params(dflt)
     tuner = Tuner(space, objective, strategy=strategy, max_trials=max_trials,
                   seed=seed, log=log, init_points=[dflt])
+    if log_path:
+        resumed = tuner.load_db(log_path)
+        if resumed:
+            log.emit("resume", memoized=resumed)
     t0 = time.time()
     best_params, best_perf = tuner.run()
     default_perf = tuner.db.get(dflt_point)
