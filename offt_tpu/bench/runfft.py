@@ -31,6 +31,8 @@ def _parse_args(argv=None):
     p.add_argument("-a", "--algo", default="offt",
                    choices=["offt", "xla", "numpy"])
     p.add_argument("-R", "--r2c", action="store_true")
+    p.add_argument("-b", "--batch", type=int, default=0,
+                   help="leading batch dim (BASELINE config 5 style)")
     p.add_argument("-i", "--inverse", action="store_true")
     p.add_argument("-r", "--reps", type=int, default=5)
     p.add_argument("--p1", type=int, default=0, help="mesh rows (0=auto)")
@@ -81,8 +83,10 @@ def main(argv=None):
     ny = ns.ny or ns.N
     nz = ns.nz or ns.N
     shape = (nx, ny, nz)
+    if ns.batch:
+        shape = (ns.batch,) + shape
     total = nx * ny * nz
-    flops = 5.0 * total * math.log2(total)
+    flops = 5.0 * total * math.log2(total) * max(ns.batch, 1)
 
     rng = np.random.default_rng(0)
     t_init0 = time.time()
@@ -122,7 +126,7 @@ def main(argv=None):
     params = None
     if ns.tune:
         from offt_tpu.tune import tune
-        res = tune(shape, "complex64", mesh=mesh, real=ns.r2c,
+        res = tune(shape[-3:], "complex64", mesh=mesh, real=ns.r2c,
                    strategy=ns.strategy, max_trials=ns.max_trials,
                    log_path=ns.log or None)
         params = res.best_params
@@ -136,8 +140,9 @@ def main(argv=None):
 
     re = jax.device_put(rng.standard_normal(shape).astype(np.float32))
     if ns.algo == "offt":
-        p = offt_tpu.plan(shape, "complex64", mesh=mesh, real=ns.r2c,
-                          inverse=ns.inverse, params=params, planar=True)
+        p = offt_tpu.plan(shape[-3:], "complex64", mesh=mesh, real=ns.r2c,
+                          inverse=ns.inverse, params=params, planar=True,
+                          batch_dims=len(shape) - 3)
         if ns.r2c and not ns.inverse:
             args = (re,)
         else:
@@ -184,13 +189,15 @@ def _verify(p, shape, ns):
         x = rng.standard_normal(shape).astype(np.float32)
         got = p(x)
         got = np.asarray(got[0]) + 1j * np.asarray(got[1])
-        want = np.fft.rfftn(x)
+        want = np.fft.rfftn(x, axes=(-3, -2, -1))
     else:
         x = (rng.standard_normal(shape)
              + 1j * rng.standard_normal(shape)).astype(np.complex64)
         out = p((x.real.copy(), x.imag.copy()))
         got = np.asarray(out[0]) + 1j * np.asarray(out[1])
-        want = np.fft.ifftn(x) if ns.inverse else np.fft.fftn(x)
+        axes = (-3, -2, -1)
+        want = (np.fft.ifftn(x, axes=axes) if ns.inverse
+                else np.fft.fftn(x, axes=axes))
     err = np.linalg.norm(got - want) / np.linalg.norm(want)
     print(f"# verify rel_err = {err:.3e}", file=sys.stderr)
     if err > 1e-5:

@@ -101,14 +101,60 @@ def _pick_2stage(n: int, radices=None) -> tuple[int, int] | None:
 # kernel routes the transform axis through sublanes.
 # --------------------------------------------------------------------------
 
+# radix ceiling for the fully-unrolled loop core (r1 + r2 dots per block);
+# beyond this the merged-reshape core keeps trace/compile time bounded
+_LOOP_MAX_RADIX = 32
+
+
 def _sublane_core(xr, xi, g1, g2, twr, twi, r1: int, r2: int,
                   precision: str = DEFAULT_PRECISION):
     """FFT over the first axis of (N, L) planar vectors; natural output
     order (flat index k2*r1 + k1 falls out of the reshape).
 
-    Both radix stages are single *folded* real matmuls (see _fold_complex):
-    stage A contracts the stacked [re; im] n1 rows (depth 2*r1), stage B
-    the stacked n2 rows (depth 2*r2)."""
+    Each complex radix stage is a *folded* real matmul (see _fold_complex).
+    Two code paths:
+    - loop core (small radices): one (2r, 2r) @ (2r, L) dot per digit slice.
+      All data stays in its (sublane, lane) layout — no lane-crossing
+      relayouts. Measured 0.65 ms/axis at 256^3 on v5e.
+    - merge core (large radices): two big dots over lane-merged operands
+      (0.90 ms/axis — the (r1, r2, L) -> (2r1, r2*L) reshape crosses lanes,
+      but the dot count stays O(1)).
+    """
+    if max(r1, r2) <= _LOOP_MAX_RADIX and r2 > 1:
+        return _sublane_core_loop(xr, xi, g1, g2, twr, twi, r1, r2, precision)
+    return _sublane_core_merge(xr, xi, g1, g2, twr, twi, r1, r2, precision)
+
+
+def _sublane_core_loop(xr, xi, g1, g2, twr, twi, r1, r2, precision):
+    n = r1 * r2
+    lanes = xr.shape[-1]
+    x3r = xr.reshape(r1, r2, lanes)
+    x3i = xi.reshape(r1, r2, lanes)
+    # stage A: per-n2 digit slice, contraction depth 2*r1 on sublanes
+    outs_r, outs_i = [], []
+    for j in range(r2):
+        xs = jnp.concatenate([x3r[:, j, :], x3i[:, j, :]], axis=0)
+        a = jnp.dot(g1, xs, preferred_element_type=jnp.float32,
+                    precision=precision)
+        ar, ai = a[:r1], a[r1:]
+        outs_r.append(ar * twr[:, j:j + 1] - ai * twi[:, j:j + 1])
+        outs_i.append(ar * twi[:, j:j + 1] + ai * twr[:, j:j + 1])
+    # stage B: per-k1 row group, contraction depth 2*r2
+    rows_r, rows_i = [], []
+    for k1 in range(r1):
+        bs = jnp.concatenate(
+            [jnp.stack([outs_r[j][k1] for j in range(r2)], axis=0),
+             jnp.stack([outs_i[j][k1] for j in range(r2)], axis=0)], axis=0)
+        c = jnp.dot(g2, bs, preferred_element_type=jnp.float32,
+                    precision=precision)
+        rows_r.append(c[:r2])
+        rows_i.append(c[r2:])
+    yr = jnp.stack(rows_r, axis=1).reshape(n, lanes)  # (r2, r1, L) flat
+    yi = jnp.stack(rows_i, axis=1).reshape(n, lanes)
+    return yr, yi
+
+
+def _sublane_core_merge(xr, xi, g1, g2, twr, twi, r1, r2, precision):
     n = r1 * r2
     lanes = xr.shape[-1]
     xs = jnp.concatenate(

@@ -130,20 +130,22 @@ def build_space(
     nzf = spec.nz_freq
     p = spec.p
     dims = []
-    if fixed_p1 is not None:
-        dims.append(Dimension("p1", (fixed_p1,)))
-    else:
-        dims.append(Dimension("p1", tuple(p1_candidates(nx, ny, nz, p))))
-    p2_min = max(1, p // max(d for d in p1_candidates(nx, ny, nz, p)))
-    m1 = max(1, nx // max(1, min(p1_candidates(nx, ny, nz, p))))
-    m3 = max(1, nzf // max(1, p2_min))
-    dims.append(Dimension("t1", tuple(pow2_grid(1, min(max_tile, m1)))))
-    dims.append(Dimension("t2", tuple(pow2_grid(1, min(max_tile, m3)))))
-    dims.append(Dimension("w1", tuple(range(0, 5))))
-    dims.append(Dimension("w2", tuple(range(0, 5))))
-    dims.append(Dimension("ry", tuple(range(0, 11))))
-    dims.append(Dimension("s1", (0, 1)))
-    dims.append(Dimension("s2", (0, 1)))
+    if p > 1:
+        # distributed-only knobs (pipeline chunking, transpose strategy)
+        if fixed_p1 is not None:
+            dims.append(Dimension("p1", (fixed_p1,)))
+        else:
+            dims.append(Dimension("p1", tuple(p1_candidates(nx, ny, nz, p))))
+        p2_min = max(1, p // max(d for d in p1_candidates(nx, ny, nz, p)))
+        m1 = max(1, nx // max(1, min(p1_candidates(nx, ny, nz, p))))
+        m3 = max(1, nzf // max(1, p2_min))
+        dims.append(Dimension("t1", tuple(pow2_grid(1, min(max_tile, m1)))))
+        dims.append(Dimension("t2", tuple(pow2_grid(1, min(max_tile, m3)))))
+        dims.append(Dimension("w1", tuple(range(0, 5))))
+        dims.append(Dimension("w2", tuple(range(0, 5))))
+        dims.append(Dimension("ry", tuple(range(0, 11))))
+        dims.append(Dimension("s1", (0, 1)))
+        dims.append(Dimension("s2", (0, 1)))
     if include_radix:
         dims.append(Dimension("radix_z", _radix_candidates(nz if not spec.real
                                                            else nz // 2)))
@@ -157,6 +159,9 @@ def build_space(
             include_pallas = False
     if include_pallas and spec.dtype in ("complex64", "float32"):
         dims.append(Dimension("use_pallas", (0, 1)))
+        # Pallas block shape (lanes for sublane kernels / rows for the
+        # last-axis kernel); 0 = built-in heuristic
+        dims.append(Dimension("block_batch", (0, 128, 256, 512, 1024)))
     return SearchSpace(spec=spec, dims=tuple(dims))
 
 
