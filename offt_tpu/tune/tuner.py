@@ -220,6 +220,18 @@ def tune(
     timer = timer or _default_timer()
     log = EventLog(log_path)
 
+    if not space.dims:
+        # nothing to search (single device, no tunable kernels): time the
+        # default point and return it
+        dflt = default_params(spec, p1=fixed_p1)
+        pl0 = build_plan(shape, dtype, mesh=mesh, real=real, params=dflt,
+                         use_cache=False, planar=True)
+        perf = timer(pl0)
+        log.emit("tune_done", best_perf=perf, default_perf=perf, trials=0)
+        log.close()
+        return TuneResult(best_params=dflt, best_perf=perf,
+                          default_perf=perf, trials=[], converged=True)
+
     def objective(params: PlanParams) -> float:
         pl = build_plan(shape, dtype, mesh=mesh, real=real, params=params,
                         use_cache=False, planar=True)

@@ -107,28 +107,38 @@ def test_fft_space_feasibility_filter():
 
 
 def test_tune_end_to_end_tiny_fft(tmp_path, monkeypatch):
-    """Full tune() over real (tiny) FFT plans on the CPU mesh, fake timer."""
+    """Full tune() over real (tiny) distributed FFT plans on the virtual
+    CPU mesh, with a deterministic fake timer."""
     monkeypatch.setenv("OFFT_TPU_CACHE_DIR", str(tmp_path))
+    from offt_tpu.dist import make_mesh
     from offt_tpu.tune import tune
-    from offt_tpu.plan import cache as plan_cache
 
-    # deterministic fake timer keyed on params so the search has a signal:
-    # pretend bigger tiles are faster (monotone objective with known best)
+    mesh = make_mesh(2, 4)
+
+    # fake timer keyed on params so the search has a signal: pretend bigger
+    # tiles are faster (monotone objective with known best)
     def fake_timer(plan):
         pp = plan.params
         return 1.0 / (pp.t1 + pp.t2) + 0.01 * pp.ry
 
-    res = tune((16, 16, 16), "complex64", strategy="nm", max_trials=40,
-               timer=fake_timer, include_radix=False, seed=2,
+    res = tune((16, 16, 16), "complex64", mesh=mesh, strategy="nm",
+               max_trials=40, timer=fake_timer, include_radix=False, seed=2,
                log_path=str(tmp_path / "trials.jsonl"))
     assert res.best_perf <= res.default_perf
     # persistent cache got the best plan
-    key = plan_cache.plan_key((16, 16, 16), "complex64", False, res.best_params.p1,
-                              1 // 1, "")
-    # lookup with proper key shape: just check the cache file is non-empty
     assert (tmp_path / "plan_cache.json").exists()
     # trial log is valid JSONL
     from offt_tpu.obs import read_events
     events = read_events(str(tmp_path / "trials.jsonl"))
     assert any(e["kind"] == "tune_done" for e in events)
     assert any(e["kind"] == "trial" for e in events)
+
+
+def test_tune_trivial_space_returns_default(tmp_path, monkeypatch):
+    monkeypatch.setenv("OFFT_TPU_CACHE_DIR", str(tmp_path))
+    from offt_tpu.tune import tune
+
+    res = tune((8, 8, 8), "complex64", strategy="nm", max_trials=5,
+               timer=lambda plan: 0.123, include_radix=False)
+    assert res.converged
+    assert res.best_perf == 0.123
