@@ -132,6 +132,10 @@ def pencil_pipeline(
     rad_last=None,
     first_fn: Optional[Callable] = None,
     last_fn: Optional[Callable] = None,
+    pad_first: int = 0,
+    mid_true: int = 0,
+    mid_pad: int = 0,
+    last_true: int = 0,
 ):
     """The two-phase chunked pipeline on one device's shard (inside shard_map).
 
@@ -139,7 +143,29 @@ def pencil_pipeline(
     Inverse c2c:  a_first=x, a_mid=y, a_last=z, name1=ROW, name2=COL.
     ``first_fn``/``last_fn`` override the local transform on the first/last
     axis (used for r2c/c2r folding).
+
+    Padded-shard support (the reference handles uneven division with
+    variable-count MPI_Ialltoallv, offt.h:109-125 A2AV; XLA wants static
+    equal shards, so we pad axes to mesh-axis multiples and carry trailing
+    garbage that never mixes — FFTs only run on sliced-true extents):
+    - pad_first: pad a_first to this length after do_first (pre-split)
+    - mid_true:  slice a_mid to this after the phase-1 exchange
+    - mid_pad:   pad a_mid to this before the phase-2 exchange
+    - last_true: slice a_last to this before do_last
     """
+    def _pad_to(c, axis, target):
+        cur = c.shape[axis]
+        if not target or cur >= target:
+            return c
+        padw = [(0, 0)] * c.ndim
+        padw[axis] = (0, target - cur)
+        return jnp.pad(c, padw)
+
+    def _slice_to(c, axis, target):
+        if not target or c.shape[axis] <= target:
+            return c
+        return lax.slice_in_dim(c, 0, target, axis=axis)
+
     do_first = first_fn or (lambda c: axis_fft(c, a_first, inverse,
                                                rad_first, params))
     do_last = last_fn or (lambda c: axis_fft(c, a_last, inverse,
@@ -152,11 +178,13 @@ def pencil_pipeline(
     for lo, hi in _chunk_bounds(n_last_local, params.t1):
         c = lax.slice_in_dim(xl, lo, hi, axis=a_last)
         c = do_first(c)
+        c = _pad_to(c, a_first, pad_first)
         c = _transpose(c, name1, split_axis=a_first, concat_axis=a_mid,
                        size=size1, strategy=params.s1)
         phase1_chunks.append(c)
     mid = jnp.concatenate(phase1_chunks, axis=a_last) if len(phase1_chunks) > 1 \
         else phase1_chunks[0]
+    mid = _slice_to(mid, a_mid, mid_true)
 
     # ---- mid-axis transform split between phases (reference Ry, offt.h:94):
     # first ry/10 of the a_last rows get their mid-axis fft "in phase 1".
@@ -182,8 +210,10 @@ def pencil_pipeline(
             pend = lax.slice_in_dim(c, rx, n_rows, axis=a_last)
             pend = do_mid(pend)
             c = jnp.concatenate([done, pend], axis=a_last)
+        c = _pad_to(c, a_mid, mid_pad)
         c = _transpose(c, name2, split_axis=a_mid, concat_axis=a_last,
                        size=size2, strategy=params.s2)
+        c = _slice_to(c, a_last, last_true)
         c = do_last(c)
         out_chunks.append(c)
     return (jnp.concatenate(out_chunks, axis=a_first)
@@ -194,25 +224,37 @@ def _spatial_axes(ndim: int) -> tuple[int, int, int]:
     return ndim - 3, ndim - 2, ndim - 1
 
 
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def make_pencil_fft3d(
     mesh,
     ndim: int,
     params: PlanParams,
+    shape: tuple[int, int, int],
     inverse: bool = False,
     rad_z=None,
     rad_y=None,
     rad_x=None,
     first_fn: Optional[Callable] = None,
     last_fn: Optional[Callable] = None,
-    first_fn_out_len: Optional[int] = None,
+    z_freq_len: int = 0,
 ):
     """Build the shard_map'd distributed transform for arrays of rank ndim
     (leading ndim-3 dims are replicated batch). Returns a traceable fn.
+
+    ``shape`` is the TRUE spatial (Nx, Ny, Nz); the caller pads its global
+    operand to mesh multiples (see plan/api.py) and this pipeline carries
+    pad/slice points so uneven shapes work on static shards (A2AV parity).
+    ``z_freq_len`` overrides the post-``first_fn`` z length (r2c: Nz//2+1).
 
     Forward maps z-pencil input P(ROW, COL, None) to transposed-out
     P(None, ROW, COL); inverse maps the reverse.
     """
     p1, p2 = mesh_shape(mesh)
+    nx, ny, nz = shape
+    nzt = z_freq_len or nz
     ax, ay, az = _spatial_axes(ndim)
     batch = (None,) * (ndim - 3)
     in_spec = P(*batch, ROW, COL, None) if not inverse else P(*batch, None, ROW, COL)
@@ -226,6 +268,8 @@ def make_pencil_fft3d(
                 params=params, inverse=False,
                 rad_first=rad_z, rad_mid=rad_y, rad_last=rad_x,
                 first_fn=first_fn, last_fn=last_fn,
+                pad_first=_ceil_to(nzt, p2), mid_true=ny,
+                mid_pad=_ceil_to(ny, p1), last_true=nx,
             )
         return pencil_pipeline(
             xl, a_first=ax, a_mid=ay, a_last=az,
@@ -233,6 +277,10 @@ def make_pencil_fft3d(
             params=params, inverse=True,
             rad_first=rad_x, rad_mid=rad_y, rad_last=rad_z,
             first_fn=first_fn, last_fn=last_fn,
+            pad_first=_ceil_to(nx, p1), mid_true=ny,
+            mid_pad=_ceil_to(ny, p2),
+            # c2r's last_fn slices the padded frequency axis itself
+            last_true=0 if last_fn is not None else nz,
         )
 
     return jax.shard_map(local_fn, mesh=mesh, in_specs=in_spec,

@@ -130,24 +130,35 @@ class Plan:
         return jax.jit(self._fn).lower(x_shape_dtype)
 
 
-def _validate_divisibility(spec: ProblemSpec, params: PlanParams, p1: int, p2: int):
-    nx, ny, nz = spec.shape
-    nzt = spec.nz_freq
-    if nx % p1 != 0:
-        raise ValueError(f"Nx={nx} not divisible by p1={p1} (padding lands in v1)")
-    if ny % (p1 * p2) != 0:
-        # y is split by p2 on input and by p1 on output
-        raise ValueError(f"Ny={ny} must be divisible by p1*p2={p1 * p2}")
-    if not spec.real and nzt % p2 != 0:
-        raise ValueError(f"Nz={nz} not divisible by p2={p2}")
+def _pad_axis(x, axis: int, target: int):
+    cur = x.shape[axis]
+    if cur >= target:
+        return x
+    padw = [(0, 0)] * x.ndim
+    padw[axis] = (0, target - cur)
+    return jnp.pad(x, padw)
+
+
+def _slice_axis(x, axis: int, target: int):
+    if x.shape[axis] <= target:
+        return x
+    return lax.slice_in_dim(x, 0, target, axis=axis)
 
 
 def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int):
     """Build the (untraced) transform fn. Returns (fn, in_shard, out_shard);
-    shardings are None when unconstrained."""
+    shardings are None when unconstrained (padded/uneven boundaries).
+
+    Uneven shapes: any (Nx, Ny, Nz) works on any (p1, p2) mesh — global
+    operands are padded to mesh-axis multiples at the jit level and the
+    pipeline slices back to true extents before each transform (the
+    padded-static-shard answer to the reference's variable-count
+    MPI_Ialltoallv, offt.h:109-125).
+    """
     nx, ny, nz = spec.shape
-    az = ndim - 1
+    ax, ay, az = ndim - 3, ndim - 2, ndim - 1
     nzf = nz // 2 + 1
+    nzt = nzf if spec.real else nz          # z length after the first pass
 
     if mesh is None:
         def fn(x):
@@ -155,73 +166,64 @@ def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int):
         return fn, None, None
 
     p1, p2 = meshlib.mesh_shape(mesh)
-    _validate_divisibility(spec, params, p1, p2)
+    # axis paddings (no-ops when divisible)
+    nxp1 = _ceil_to(nx, p1)
+    nyp2 = _ceil_to(ny, p2)
+    nyp1 = _ceil_to(ny, p1)
+    nztp2 = _ceil_to(nzt, p2)
 
-    if not spec.real:
-        sm = make_pencil_fft3d(
-            mesh, ndim, params, inverse=spec.inverse,
-            rad_z=params.radix_z, rad_y=params.radix_y, rad_x=params.radix_x,
-        )
-        in_shard = (meshlib.output_sharding(mesh, ndim) if spec.inverse
-                    else meshlib.input_sharding(mesh, ndim))
-        out_shard = (meshlib.input_sharding(mesh, ndim) if spec.inverse
-                     else meshlib.output_sharding(mesh, ndim))
-
-        def fn(x):
-            x = x.astype(_as_complex_dtype(x.dtype))
-            return sm(x)
-
-        return fn, in_shard, out_shard
-
-    # ---- r2c / c2r: Nz/2+1 frequency bins rarely divide p2 -> pad the
-    # frequency axis to a p2 multiple inside the pipeline (the padded-shard
-    # answer to the reference's A2AV uneven counts, offt.h:109-125).
-    nzfp = _ceil_to(nzf, p2)
-
-    if not spec.inverse:
+    first_fn = None
+    last_fn = None
+    if spec.real and not spec.inverse:
         def first_fn(c):
-            c = rfft_1d(c, axis=az, radices=params.radix_z)
-            if nzfp != nzf:
-                padw = [(0, 0)] * ndim
-                padw[az] = (0, nzfp - nzf)
-                c = jnp.pad(c, padw)
-            return c
-
-        sm = make_pencil_fft3d(
-            mesh, ndim, params, inverse=False,
-            rad_y=params.radix_y, rad_x=params.radix_x, first_fn=first_fn,
-        )
-
-        def fwd(x):
-            y = sm(x)
-            if nzfp != nzf:
-                y = lax.slice_in_dim(y, 0, nzf, axis=az)
-            return y
-
-        # the sliced frequency axis (Nz//2+1) is rarely divisible by p2;
-        # only pin the transposed-out sharding when it is
-        out_shard = meshlib.output_sharding(mesh, ndim) if nzfp == nzf else None
-        return fwd, meshlib.input_sharding(mesh, ndim), out_shard
-
-    def last_fn(c):
-        if nzfp != nzf:
-            c = lax.slice_in_dim(c, 0, nzf, axis=az)
-        return irfft_1d(c, n=nz, axis=az, radices=params.radix_z)
+            return rfft_1d(c, axis=az, radices=params.radix_z)
+    if spec.real and spec.inverse:
+        def last_fn(c):
+            c = _slice_axis(c, az, nzf)
+            return irfft_1d(c, n=nz, axis=az, radices=params.radix_z)
 
     sm = make_pencil_fft3d(
-        mesh, ndim, params, inverse=True,
-        rad_y=params.radix_y, rad_x=params.radix_x, last_fn=last_fn,
+        mesh, ndim, params, shape=(nx, ny, nz), inverse=spec.inverse,
+        rad_z=None if spec.real else params.radix_z,
+        rad_y=params.radix_y, rad_x=params.radix_x,
+        first_fn=first_fn, last_fn=last_fn,
+        z_freq_len=nzf if spec.real else 0,
     )
 
-    def inv(x):
-        if nzfp != nzf:
-            padw = [(0, 0)] * ndim
-            padw[az] = (0, nzfp - nzf)
-            x = jnp.pad(x, padw)
-        return sm(x)
+    if not spec.inverse:
+        # input z-pencils (x/p1, y/p2, z) -> transposed-out (x, y/p1, z'/p2)
+        def fwd(x):
+            if not (spec.real and not spec.inverse):
+                x = x.astype(_as_complex_dtype(x.dtype))
+            x = _pad_axis(x, ax, nxp1)
+            x = _pad_axis(x, ay, nyp2)
+            y = sm(x)
+            y = _slice_axis(y, ay, ny)
+            y = _slice_axis(y, az, nzt)
+            return y
 
-    in_shard = meshlib.output_sharding(mesh, ndim) if nzfp == nzf else None
-    return inv, in_shard, meshlib.input_sharding(mesh, ndim)
+        in_shard = (meshlib.input_sharding(mesh, ndim)
+                    if nx == nxp1 and ny == nyp2 else None)
+        out_shard = (meshlib.output_sharding(mesh, ndim)
+                     if ny == nyp1 and nzt == nztp2 else None)
+        return fwd, in_shard, out_shard
+
+    # inverse: transposed-in (x, y/p1, z'/p2) -> z-pencils (x/p1, y/p2, z)
+    def inv(x):
+        if not spec.real:
+            x = x.astype(_as_complex_dtype(x.dtype))
+        x = _pad_axis(x, ay, nyp1)
+        x = _pad_axis(x, az, nztp2)
+        y = sm(x)
+        y = _slice_axis(y, ax, nx)
+        y = _slice_axis(y, ay, ny)
+        return y
+
+    in_shard = (meshlib.output_sharding(mesh, ndim)
+                if ny == nyp1 and nzt == nztp2 else None)
+    out_shard = (meshlib.input_sharding(mesh, ndim)
+                 if nx == nxp1 and ny == nyp2 else None)
+    return inv, in_shard, out_shard
 
 
 def _jit_plan_fn(spec: ProblemSpec, raw_fn, in_shard, out_shard, planar: bool):

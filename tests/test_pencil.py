@@ -119,12 +119,26 @@ def test_output_sharding_is_transposed():
     assert y.sharding.spec == P(None, "row", "col")
 
 
-def test_indivisible_raises():
+@pytest.mark.parametrize("shape", [(9, 16, 16), (16, 12, 16), (10, 15, 14),
+                                   (17, 13, 11)])
+def test_uneven_shapes_padded(shape):
+    """Any shape on any mesh via padded static shards (the reference's
+    A2AV uneven-division capability, offt.h:109-125)."""
     mesh = make_mesh(2, 4)
-    with pytest.raises(ValueError):
-        offt_tpu.plan((9, 16, 16), "complex64", mesh=mesh)
-    with pytest.raises(ValueError):
-        offt_tpu.plan((16, 12, 16), "complex64", mesh=mesh)  # Ny % (p1*p2) != 0
+    x = rand_c(shape, seed=sum(shape))
+    got = offt_tpu.fft3d(x, mesh=mesh)
+    assert rel_err(got, np.fft.fftn(x)) < 1e-11
+    back = offt_tpu.ifft3d(np.asarray(got), mesh=mesh)
+    assert rel_err(back, x) < 1e-11
+
+
+def test_uneven_rfft():
+    mesh = make_mesh(2, 4)
+    x = np.random.default_rng(8).standard_normal((10, 12, 15))
+    got = offt_tpu.rfft3d(x, mesh=mesh)
+    assert rel_err(got, np.fft.rfftn(x)) < 1e-11
+    back = offt_tpu.irfft3d(np.asarray(got), nz=15, mesh=mesh)
+    assert rel_err(back, x) < 1e-11
 
 
 def test_nonsquare_dims():
