@@ -290,10 +290,15 @@ def plan(
     p = 1 if mesh is None else mesh.devices.size
     spec = ProblemSpec(shape=tuple(shape), dtype=str(jnp.dtype(dtype)),
                        real=real, inverse=inverse, p=p)
-    if params is None and use_cache and mesh is not None:
-        p1, p2 = meshlib.mesh_shape(mesh)
-        dev_kind = mesh.devices.flat[0].device_kind
-        params = cache.lookup(cache.plan_key(shape, spec.dtype, real, p1, p2, dev_kind))
+    if params is None and use_cache:
+        if mesh is not None:
+            p1, p2 = meshlib.mesh_shape(mesh)
+            dev_kind = mesh.devices.flat[0].device_kind
+        else:
+            p1 = p2 = 1
+            dev_kind = jax.devices()[0].device_kind
+        params = cache.lookup(
+            cache.plan_key(shape, spec.dtype, real, p1, p2, dev_kind))
     if params is None:
         params = default_params(
             spec, p1=None if mesh is None else meshlib.mesh_shape(mesh)[0])
