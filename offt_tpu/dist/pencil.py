@@ -173,10 +173,22 @@ def pencil_pipeline(
     do_mid = lambda c: axis_fft(c, a_mid, inverse, rad_mid, params)
 
     # ---- phase 1: chunk along a_last; fft(a_first) + exchange a_first<->a_mid
+    # The window knob w bounds concurrently-live chunks (reference W1/W2,
+    # offt.h:78-79): chunk i's input is tied to chunk i-w's finished
+    # exchange with an optimization_barrier, so XLA's async scheduler keeps
+    # at most w chunk collectives in flight. w=0 leaves scheduling entirely
+    # to XLA (no bound; the reference's w=0-blocking maps to our w=1).
+    def _window_tie(c, outputs, w, i, t_active):
+        if 0 < w <= i and w < t_active:
+            c, _ = lax.optimization_barrier((c, outputs[i - w]))
+        return c
+
     n_last_local = xl.shape[a_last]
+    bounds1 = _chunk_bounds(n_last_local, params.t1)
     phase1_chunks = []
-    for lo, hi in _chunk_bounds(n_last_local, params.t1):
+    for i, (lo, hi) in enumerate(bounds1):
         c = lax.slice_in_dim(xl, lo, hi, axis=a_last)
+        c = _window_tie(c, phase1_chunks, params.w1, i, len(bounds1))
         c = do_first(c)
         c = _pad_to(c, a_first, pad_first)
         c = _transpose(c, name1, split_axis=a_first, concat_axis=a_mid,
@@ -202,9 +214,11 @@ def pencil_pipeline(
     # ---- phase 2: chunk along a_first; finish fft(a_mid) on pending rows,
     # exchange a_mid<->a_last, fft(a_last)
     n_first_local = mid.shape[a_first]
+    bounds2 = _chunk_bounds(n_first_local, params.t2)
     out_chunks = []
-    for lo, hi in _chunk_bounds(n_first_local, params.t2):
+    for i, (lo, hi) in enumerate(bounds2):
         c = lax.slice_in_dim(mid, lo, hi, axis=a_first)
+        c = _window_tie(c, out_chunks, params.w2, i, len(bounds2))
         if rx < n_rows:
             done = lax.slice_in_dim(c, 0, rx, axis=a_last)
             pend = lax.slice_in_dim(c, rx, n_rows, axis=a_last)

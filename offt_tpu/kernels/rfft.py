@@ -34,23 +34,28 @@ def _half_twiddles(n: int, dtype_name: str, inverse: bool) -> np.ndarray:
     return w.astype(np.dtype(dtype_name))
 
 
-def rfft_1d(x: jax.Array, axis: int = -1, radices=None) -> jax.Array:
+def rfft_1d(x: jax.Array, axis: int = -1, radices=None,
+            fft_fn=None) -> jax.Array:
     """Forward r2c along ``axis``: real (..., N) -> complex (..., N//2+1).
 
     Matches ``np.fft.rfft``. Even N uses the packed half-length transform;
     odd N falls back to a full c2c and slices the non-negative bins.
+    ``fft_fn(v, axis, inverse)`` overrides the inner c2c (e.g. the fused
+    Pallas kernel on TPU).
     """
     x = jnp.asarray(x)
     axis = axis % x.ndim
     n = x.shape[axis]
     cdtype = _as_complex_dtype(x.dtype)
+    do_fft = fft_fn or (lambda v, ax, inv: fft_1d(v, axis=ax, inverse=inv,
+                                                  radices=radices))
     if n % 2 != 0 or n < 2:
-        full = fft_1d(x.astype(cdtype), axis=axis, radices=radices)
+        full = do_fft(x.astype(cdtype), axis, False)
         return jax.lax.slice_in_dim(full, 0, n // 2 + 1, axis=axis)
     x = jnp.moveaxis(x, axis, -1)
     m = n // 2
     v = x[..., 0::2].astype(cdtype) + 1j * x[..., 1::2].astype(cdtype)
-    vf = fft_1d(v, inverse=False, radices=radices)
+    vf = do_fft(v, -1, False)
     # V[(M - k) mod M], k = 0..M  (two wrap-around entries)
     vr = jnp.concatenate(
         [vf[..., :1], vf[..., :0:-1], vf[..., :1]], axis=-1
@@ -63,11 +68,12 @@ def rfft_1d(x: jax.Array, axis: int = -1, radices=None) -> jax.Array:
     return jnp.moveaxis(out, -1, axis)
 
 
-def irfft_1d(x: jax.Array, n: int | None = None, axis: int = -1, radices=None) -> jax.Array:
+def irfft_1d(x: jax.Array, n: int | None = None, axis: int = -1,
+             radices=None, fft_fn=None) -> jax.Array:
     """Inverse c2r along ``axis``: complex (..., N//2+1) -> real (..., N).
 
     Matches ``np.fft.irfft`` (assumes conjugate symmetry of the implied full
-    spectrum; scales by 1/N).
+    spectrum; scales by 1/N). ``fft_fn`` as in :func:`rfft_1d`.
     """
     x = jnp.asarray(x)
     axis = axis % x.ndim
@@ -75,12 +81,14 @@ def irfft_1d(x: jax.Array, n: int | None = None, axis: int = -1, radices=None) -
     n = n if n is not None else 2 * (nf - 1)
     cdtype = _as_complex_dtype(x.dtype)
     rdtype = _real_dtype(cdtype)
+    do_fft = fft_fn or (lambda v, ax, inv: fft_1d(v, axis=ax, inverse=inv,
+                                                  radices=radices))
     if n % 2 != 0 or n < 2:
         # rebuild the full spectrum and do a c2c inverse
         x_m = jnp.moveaxis(x.astype(cdtype), axis, -1)
         tail = jnp.conj(x_m[..., 1 : n - nf + 1][..., ::-1])
         full = jnp.concatenate([x_m[..., :nf], tail], axis=-1)
-        out = fft_1d(full, inverse=True, radices=radices).real.astype(rdtype)
+        out = do_fft(full, -1, True).real.astype(rdtype)
         return jnp.moveaxis(out, -1, axis)
     if nf != n // 2 + 1:
         raise ValueError(f"expected {n // 2 + 1} frequency bins, got {nf}")
@@ -91,6 +99,6 @@ def irfft_1d(x: jax.Array, n: int | None = None, axis: int = -1, radices=None) -
     w = jnp.asarray(_half_twiddles(n, str(cdtype), inverse=True))  # conj(W^k)
     xo = 0.5 * (x - jnp.conj(xr)) * w
     v = (xe + 1j * xo)[..., :m]
-    vt = fft_1d(v, inverse=True, radices=radices)
+    vt = do_fft(v, -1, True)
     out = jnp.stack([vt.real, vt.imag], axis=-1).reshape(vt.shape[:-1] + (n,))
     return jnp.moveaxis(out.astype(rdtype), -1, axis)

@@ -69,6 +69,26 @@ def _planarize(fn, in_planar: bool, out_planar: bool):
     return wrapped
 
 
+def _real_fft_fn(params: PlanParams):
+    """Inner-c2c dispatch for the packed r2c/c2r transforms (fused Pallas
+    kernel when enabled). radix_z applies to the half-length transform;
+    dropped when the inner length differs (odd-N full-length fallback)."""
+    from ..dist.pencil import axis_fft
+
+    def fn(v, axis, inverse):
+        ax = axis % v.ndim
+        rad = params.radix_z
+        if rad is not None:
+            prod = 1
+            for r in rad:
+                prod *= r
+            if prod != v.shape[ax]:
+                rad = None
+        return axis_fft(v, ax, inverse, rad, params)
+
+    return fn
+
+
 def _local_fft3d(x, inverse: bool, real: bool, nz: int, params: PlanParams):
     """Single-device 3-D transform: three axis passes (fused Pallas kernels
     when params.use_pallas, else the unfused matmul path)."""
@@ -77,7 +97,8 @@ def _local_fft3d(x, inverse: bool, real: bool, nz: int, params: PlanParams):
     ax, ay, az = x.ndim - 3, x.ndim - 2, x.ndim - 1
     if not inverse:
         if real:
-            x = rfft_1d(x, axis=az, radices=params.radix_z)
+            x = rfft_1d(x, axis=az, radices=params.radix_z,
+                        fft_fn=_real_fft_fn(params))
         else:
             x = axis_fft(x, az, False, params.radix_z, params)
         x = axis_fft(x, ay, False, params.radix_y, params)
@@ -85,7 +106,8 @@ def _local_fft3d(x, inverse: bool, real: bool, nz: int, params: PlanParams):
     x = axis_fft(x, ax, True, params.radix_x, params)
     x = axis_fft(x, ay, True, params.radix_y, params)
     if real:
-        return irfft_1d(x, n=nz, axis=az, radices=params.radix_z)
+        return irfft_1d(x, n=nz, axis=az, radices=params.radix_z,
+                        fft_fn=_real_fft_fn(params))
     return axis_fft(x, az, True, params.radix_z, params)
 
 
@@ -176,11 +198,13 @@ def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int):
     last_fn = None
     if spec.real and not spec.inverse:
         def first_fn(c):
-            return rfft_1d(c, axis=az, radices=params.radix_z)
+            return rfft_1d(c, axis=az, radices=params.radix_z,
+                           fft_fn=_real_fft_fn(params))
     if spec.real and spec.inverse:
         def last_fn(c):
             c = _slice_axis(c, az, nzf)
-            return irfft_1d(c, n=nz, axis=az, radices=params.radix_z)
+            return irfft_1d(c, n=nz, axis=az, radices=params.radix_z,
+                            fft_fn=_real_fft_fn(params))
 
     sm = make_pencil_fft3d(
         mesh, ndim, params, shape=(nx, ny, nz), inverse=spec.inverse,
