@@ -98,18 +98,35 @@ class TuneResult:
 
 
 class Tuner:
-    """Strategy-driven search with memoization and structured logging."""
+    """Strategy-driven search with memoization and structured logging.
+
+    ``compile_fn``/``measure_fn`` split the objective into a (thread-
+    parallelizable) build/compile stage and a (device-serial) measurement
+    stage — the analogue of Active Harmony's async codegen plugin
+    (plugins/codegen.c: points are released to clients only after their
+    code variant is built). With a batch-capable strategy (PRO hands out a
+    whole simplex per round, pro.c:326-343) up to ``batch`` candidates
+    compile concurrently while the device measures the previous one.
+    """
 
     def __init__(
         self,
         space: SearchSpace,
-        objective: Callable[[PlanParams], float],
+        objective: Optional[Callable[[PlanParams], float]] = None,
         strategy: str | Strategy = "nm",
         max_trials: int = 50,
         seed: int = 0,
         log: Optional[EventLog] = None,
         init_points: Optional[list[PlanParams]] = None,
+        compile_fn: Optional[Callable[[PlanParams], object]] = None,
+        measure_fn: Optional[Callable[[object], float]] = None,
+        batch: int = 4,
     ):
+        if objective is None and not (compile_fn and measure_fn):
+            raise ValueError("need objective or compile_fn+measure_fn")
+        self.compile_fn = compile_fn
+        self.measure_fn = measure_fn
+        self.batch = max(1, batch)
         self.space = space
         self.objective = objective
         if isinstance(strategy, str):
@@ -143,15 +160,20 @@ class Tuner:
             pass
         return n
 
-    def run(self) -> tuple[Optional[PlanParams], float]:
-        feasible = 0
+    def _drain_batch(self, budget_left: int,
+                     total_left: int) -> tuple[list[Point], int, bool]:
+        """Pull up to ``batch`` fresh feasible points from the strategy,
+        replaying memo hits / rejecting infeasible ones inline. Returns
+        (fresh_points, total_generated, exhausted)."""
+        fresh: list[Point] = []
         total = 0
-        while feasible < self.max_trials and total < 10 * self.max_trials:
+        limit = min(self.batch, budget_left)
+        while len(fresh) < limit and total < total_left:
             if self.strategy.converged():
-                break
+                return fresh, total, True
             point = self.strategy.generate()
             if point is None:
-                break
+                return fresh, total, not fresh
             total += 1
             reason = self.space.infeasible_reason(point)
             if reason is not None:
@@ -167,19 +189,76 @@ class Tuner:
                                 "duplicate"))
                 self.strategy.analyze(point, perf)
                 continue
-            params = self.space.to_params(point)
-            try:
-                perf = float(self.objective(params))
-                status = "ok"
-            except Exception as e:  # compile failure / OOM -> +inf, continue
+            if point in fresh:
+                # sequential strategies (NM) re-offer their pending point
+                # until it is analyzed: stop draining and evaluate
+                total -= 1
+                break
+            fresh.append(point)
+        return fresh, total, False
+
+    def _evaluate_batch(self, points: list[Point]) -> None:
+        """Compile candidates concurrently (when split-stage fns are set),
+        then measure serially on the device."""
+        params_list = [self.space.to_params(p) for p in points]
+        handles: list = [None] * len(points)
+        errors: list = [None] * len(points)
+        if self.compile_fn is not None:
+            if len(points) > 1:
+                import concurrent.futures as cf
+
+                with cf.ThreadPoolExecutor(max_workers=len(points)) as pool:
+                    futs = [pool.submit(self.compile_fn, pp)
+                            for pp in params_list]
+                    for i, f in enumerate(futs):
+                        try:
+                            handles[i] = f.result()
+                        except Exception as e:
+                            errors[i] = e
+            else:
+                try:
+                    handles[0] = self.compile_fn(params_list[0])
+                except Exception as e:
+                    errors[0] = e
+        for point, params, handle, err in zip(points, params_list, handles,
+                                              errors):
+            status = "ok"
+            if err is not None:
                 perf = INF
                 status = "error"
-                self.log.emit("trial_error", point=list(point), error=repr(e))
+                self.log.emit("trial_error", point=list(point),
+                              error=repr(err))
+            else:
+                try:
+                    if self.measure_fn is not None:
+                        perf = float(self.measure_fn(handle))
+                    else:
+                        perf = float(self.objective(params))
+                except Exception as e:  # compile/OOM -> +inf, continue
+                    perf = INF
+                    status = "error"
+                    self.log.emit("trial_error", point=list(point),
+                                  error=repr(e))
             self.db[point] = perf
-            feasible += 1
             self.trials.append(TrialRecord(point, params, perf, status))
-            self.log.emit("trial", point=list(point), perf=perf, status=status)
+            self.log.emit("trial", point=list(point), perf=perf,
+                          status=status)
             self.strategy.analyze(point, perf)
+
+    def run(self) -> tuple[Optional[PlanParams], float]:
+        feasible = 0
+        total = 0
+        while feasible < self.max_trials and total < 10 * self.max_trials:
+            fresh, generated, exhausted = self._drain_batch(
+                self.max_trials - feasible, 10 * self.max_trials - total)
+            total += generated
+            if fresh:
+                self._evaluate_batch(fresh)
+                feasible += len(fresh)
+            if exhausted and not fresh:
+                break
+            if not fresh and generated == 0:
+                break  # strategy stalled (waiting with nothing outstanding)
         # the tuner's own DB is authoritative for "best measured point"
         # (strategies may track best over *snapped* retries differently)
         if not self.db:
@@ -217,6 +296,7 @@ def tune(
     spec = ProblemSpec(shape=tuple(shape), dtype=str(jnp.dtype(dtype)),
                        real=real, p=p)
     space = build_space(spec, fixed_p1=fixed_p1, include_radix=include_radix)
+    user_timer = timer
     timer = timer or _default_timer()
     log = EventLog(log_path)
 
@@ -237,12 +317,54 @@ def tune(
                         use_cache=False, planar=True)
         return timer(pl)
 
+    # split-stage path: AOT-compile candidates in threads (the codegen-
+    # plugin analogue) while the device measures serially; only with the
+    # default timer (custom timers expect a Plan, not a compiled handle)
+    compile_fn = measure_fn = None
+    if user_timer is None:
+        import jax as _jax
+
+        rng = np.random.default_rng(0)
+        rdt = np.float32 if "64" in spec.dtype else np.float64
+        _re = _jax.device_put(rng.standard_normal(shape).astype(rdt))
+        if real:
+            shared_args = (_re,)
+        else:
+            _im = _jax.device_put(rng.standard_normal(shape).astype(rdt))
+            shared_args = (_re, _im)
+        avals = tuple(_jax.ShapeDtypeStruct(a.shape, a.dtype)
+                      for a in shared_args)
+
+        def compile_fn(params: PlanParams):
+            pl = build_plan(shape, dtype, mesh=mesh, real=real, params=params,
+                            use_cache=False, planar=True)
+            return pl._fn.lower(*avals).compile()
+
+        def measure_fn(compiled) -> float:
+            # AOT executables pin input shardings, so outputs (transposed
+            # layout) cannot be fed back; re-issuing the same inputs is
+            # fine — the device queue serializes executions
+            def chain(k):
+                t0 = time.perf_counter()
+                res = None
+                for _ in range(k):
+                    res = compiled(*shared_args)
+                leaf = res[0] if isinstance(res, tuple) else res
+                _ = np.asarray(_jax.device_get(leaf)).ravel()[0]
+                return time.perf_counter() - t0
+
+            chain(1)
+            t_s = min(chain(1) for _ in range(2))
+            t_l = min(chain(5) for _ in range(2))
+            return max((t_l - t_s) / 4, 1e-9)
+
     # seed the search with the heuristic default point (and always time it:
     # it is the >=20%-improvement baseline)
     dflt = default_params(spec, p1=fixed_p1)
     dflt_point = space.from_params(dflt)
     tuner = Tuner(space, objective, strategy=strategy, max_trials=max_trials,
-                  seed=seed, log=log, init_points=[dflt])
+                  seed=seed, log=log, init_points=[dflt],
+                  compile_fn=compile_fn, measure_fn=measure_fn)
     if log_path:
         resumed = tuner.load_db(log_path)
         if resumed:
