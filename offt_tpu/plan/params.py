@@ -192,12 +192,14 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
     if params.v not in (0, 1):
         return "v outside {0,1}"
     # buffer ceiling, reference BUFFER_SIZE_LIMIT (offt-tuning.c:170,183):
-    # per-device working set of one pipelined chunk x window depth
-    per_dev = (nx * ny * nzf * max(spec.batch, 1)) / max(p, 1)
-    for t, w in ((params.t1, params.w1), (params.t2, params.w2)):
-        inflight = (max(w, 1) + 1) * (per_dev / max(t, 1))
-        if inflight > BUFFER_ELEMS_LIMIT:
-            return "pipeline working set exceeds BUFFER_ELEMS_LIMIT"
+    # per-device working set of one pipelined chunk x window depth. Only
+    # meaningful for distributed plans (local plans have no comm buffers).
+    if p > 1:
+        per_dev = (nx * ny * nzf * max(spec.batch, 1)) / p
+        for t, w in ((params.t1, params.w1), (params.t2, params.w2)):
+            inflight = (max(w, 1) + 1) * (per_dev / max(t, 1))
+            if inflight > BUFFER_ELEMS_LIMIT:
+                return "pipeline working set exceeds BUFFER_ELEMS_LIMIT"
     for rad, n in (
         # r2c/c2r runs the packed half-length transform along z
         (params.radix_z, nz // 2 if spec.real else nz),
