@@ -1,0 +1,366 @@
+// offt-tpu native tuning server.
+//
+// C++ re-expression of Active Harmony's hserver
+// (/root/reference/activeharmony/build/hserver.c): a TCP server owning
+// search sessions that remote clients join/fetch/report against, with an
+// HTTP monitoring endpoint served from the SAME port by protocol sniffing
+// (hserver classifies connections by peeking for HMESG_MAGIC,
+// hserver.c:413-460; we peek for an HTTP method token). Strategies run the
+// shared native Engine (engine.hpp) instead of dlopen'd .so plugins.
+//
+// Wire protocol: JSON-lines, identical to the Python service
+// (offt_tpu/tune/service.py) so offt_tpu.tune.client.ServiceClient works
+// against either. Sessions here are index-space only: dimension VALUES are
+// kept client-side; the server sees per-dimension grid sizes (the same
+// V00..Vnn int-index convention as the reference, offt-tuning.c:779-786).
+//
+// Build: g++ -O2 -std=c++17 -pthread -o offt-tune-server offt_tune_server.cpp
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <cctype>
+#include <chrono>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <sstream>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include "engine.hpp"
+
+namespace {
+
+using offt_tune::Engine;
+
+// ---------------------------------------------------------------------
+// minimal JSON helpers for our flat message shape (no external deps)
+// ---------------------------------------------------------------------
+
+std::string json_get_string(const std::string& s, const std::string& key) {
+  auto pos = s.find("\"" + key + "\"");
+  if (pos == std::string::npos) return "";
+  pos = s.find(':', pos);
+  if (pos == std::string::npos) return "";
+  ++pos;
+  while (pos < s.size() && std::isspace((unsigned char)s[pos])) ++pos;
+  if (pos >= s.size() || s[pos] != '"') return "";
+  auto end = s.find('"', pos + 1);
+  if (end == std::string::npos) return "";
+  return s.substr(pos + 1, end - pos - 1);
+}
+
+bool json_get_number(const std::string& s, const std::string& key,
+                     double* out) {
+  auto pos = s.find("\"" + key + "\"");
+  if (pos == std::string::npos) return false;
+  pos = s.find(':', pos);
+  if (pos == std::string::npos) return false;
+  ++pos;
+  try {
+    size_t used = 0;
+    *out = std::stod(s.substr(pos), &used);
+    return used > 0;
+  } catch (...) {
+    return false;
+  }
+}
+
+// first top-level array value for key: [1, 2, 3]
+bool json_get_int_array(const std::string& s, const std::string& key,
+                        std::vector<int>* out) {
+  auto pos = s.find("\"" + key + "\"");
+  if (pos == std::string::npos) return false;
+  pos = s.find('[', pos);
+  if (pos == std::string::npos) return false;
+  auto end = s.find(']', pos);
+  if (end == std::string::npos) return false;
+  out->clear();
+  std::string body = s.substr(pos + 1, end - pos - 1);
+  std::stringstream ss(body);
+  std::string tok;
+  while (std::getline(ss, tok, ',')) {
+    try {
+      out->push_back(std::stoi(tok));
+    } catch (...) {
+      return false;
+    }
+  }
+  return true;
+}
+
+// count elements of every "values": [...] array under "dims" (the Python
+// client sends full value lists; the engine only needs grid sizes)
+std::vector<int> json_dims_sizes(const std::string& s) {
+  std::vector<int> sizes;
+  size_t pos = 0;
+  while ((pos = s.find("\"values\"", pos)) != std::string::npos) {
+    auto open = s.find('[', pos);
+    if (open == std::string::npos) break;
+    auto close = s.find(']', open);
+    if (close == std::string::npos) break;
+    int count = 1;
+    bool empty = true;
+    for (size_t i = open + 1; i < close; ++i) {
+      if (!std::isspace((unsigned char)s[i])) empty = false;
+      if (s[i] == ',') ++count;
+    }
+    sizes.push_back(empty ? 0 : count);
+    pos = close;
+  }
+  return sizes;
+}
+
+std::string int_array_json(const std::vector<int>& v) {
+  std::string out = "[";
+  for (size_t i = 0; i < v.size(); ++i) {
+    if (i) out += ", ";
+    out += std::to_string(v[i]);
+  }
+  return out + "]";
+}
+
+// ---------------------------------------------------------------------
+// sessions
+// ---------------------------------------------------------------------
+
+struct Session {
+  int id;
+  std::string name;
+  std::unique_ptr<Engine> engine;
+  std::mutex mu;
+  int ndims = 0;
+  long trials = 0;
+  double best_perf = std::numeric_limits<double>::infinity();
+  std::vector<std::pair<double, double>> history;  // (t, perf) for the UI
+};
+
+class Server {
+ public:
+  Server(const char* host, int port) {
+    fd_ = ::socket(AF_INET, SOCK_STREAM, 0);
+    int yes = 1;
+    setsockopt(fd_, SOL_SOCKET, SO_REUSEADDR, &yes, sizeof(yes));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons(port);
+    inet_pton(AF_INET, host, &addr.sin_addr);
+    if (bind(fd_, (sockaddr*)&addr, sizeof(addr)) != 0) {
+      perror("bind");
+      exit(1);
+    }
+    listen(fd_, 64);
+    socklen_t len = sizeof(addr);
+    getsockname(fd_, (sockaddr*)&addr, &len);
+    port_ = ntohs(addr.sin_port);
+  }
+
+  int port() const { return port_; }
+
+  void serve() {
+    while (true) {
+      int cfd = accept(fd_, nullptr, nullptr);
+      if (cfd < 0) continue;
+      std::thread(&Server::handle, this, cfd).detach();
+    }
+  }
+
+ private:
+  void handle(int cfd) {
+    char peek[8] = {0};
+    ssize_t n = recv(cfd, peek, sizeof(peek), MSG_PEEK);
+    if (n <= 0) {
+      close(cfd);
+      return;
+    }
+    if (!strncmp(peek, "GET ", 4) || !strncmp(peek, "HEAD", 4) ||
+        !strncmp(peek, "POST", 4)) {
+      handle_http(cfd);
+    } else {
+      handle_client(cfd);
+    }
+    close(cfd);
+  }
+
+  // ---- JSON-lines tuning protocol (one request per line) -------------
+  void handle_client(int cfd) {
+    std::string buf;
+    char chunk[4096];
+    while (true) {
+      auto nl = buf.find('\n');
+      if (nl == std::string::npos) {
+        ssize_t n = recv(cfd, chunk, sizeof(chunk), 0);
+        if (n <= 0) return;
+        buf.append(chunk, n);
+        continue;
+      }
+      std::string line = buf.substr(0, nl);
+      buf.erase(0, nl + 1);
+      if (line.find_first_not_of(" \t\r") == std::string::npos) continue;
+      std::string reply = dispatch(line);
+      reply += "\n";
+      if (send(cfd, reply.data(), reply.size(), MSG_NOSIGNAL) < 0) return;
+    }
+  }
+
+  std::string dispatch(const std::string& msg) {
+    std::string op = json_get_string(msg, "op");
+    if (op == "session") {
+      std::vector<int> sizes = json_dims_sizes(msg);
+      if (sizes.empty()) json_get_int_array(msg, "sizes", &sizes);
+      for (int v : sizes)
+        if (v <= 0) return R"({"status": "FAIL", "error": "empty dim"})";
+      if (sizes.empty())
+        return R"({"status": "FAIL", "error": "no dims"})";
+      std::string strat = json_get_string(msg, "strategy");
+      if (strat.empty()) strat = "nm";
+      double seed = 0;
+      json_get_number(msg, "seed", &seed);
+      auto sess = std::make_unique<Session>();
+      std::lock_guard<std::mutex> lk(mu_);
+      sess->id = next_id_++;
+      sess->name = json_get_string(msg, "name");
+      if (sess->name.empty()) sess->name = "session-" + std::to_string(sess->id);
+      sess->ndims = (int)sizes.size();
+      sess->engine = std::make_unique<Engine>(strat, sizes,
+                                              (unsigned)seed, 0, nullptr);
+      int sid = sess->id;
+      sessions_[sid] = std::move(sess);
+      return "{\"status\": \"OK\", \"session\": " + std::to_string(sid) + "}";
+    }
+    double sid_d = 0;
+    json_get_number(msg, "session", &sid_d);
+    Session* sess = find((int)sid_d);
+    if (!sess)
+      return R"({"status": "FAIL", "error": "no such session"})";
+    std::lock_guard<std::mutex> lk(sess->mu);
+    if (op == "fetch") {
+      std::vector<int> pt(sess->ndims);
+      if (!sess->engine->generate(pt.data()))
+        return R"({"status": "BUSY"})";
+      return "{\"status\": \"OK\", \"point\": " + int_array_json(pt) +
+             ", \"values\": " + int_array_json(pt) + "}";
+    }
+    if (op == "report") {
+      std::vector<int> pt;
+      double perf = 0;
+      if (!json_get_int_array(msg, "point", &pt) ||
+          !json_get_number(msg, "perf", &perf) ||
+          (int)pt.size() != sess->ndims)
+        return R"({"status": "FAIL", "error": "bad report"})";
+      sess->engine->analyze(pt.data(), perf);
+      sess->trials++;
+      if (perf < sess->best_perf) sess->best_perf = perf;
+      sess->history.emplace_back(
+          std::chrono::duration<double>(
+              std::chrono::system_clock::now().time_since_epoch()).count(),
+          perf);
+      return R"({"status": "OK"})";
+    }
+    if (op == "reject") {
+      std::vector<int> pt;
+      if (!json_get_int_array(msg, "point", &pt) ||
+          (int)pt.size() != sess->ndims)
+        return R"({"status": "FAIL", "error": "bad reject"})";
+      sess->engine->rejected(pt.data());
+      return R"({"status": "OK"})";
+    }
+    if (op == "best") {
+      std::vector<int> pt(sess->ndims);
+      if (!sess->engine->best(pt.data()))
+        return R"({"status": "OK", "values": null, "perf": null})";
+      return "{\"status\": \"OK\", \"values\": " + int_array_json(pt) +
+             ", \"perf\": " + std::to_string(sess->engine->best_perf()) + "}";
+    }
+    if (op == "converged") {
+      return std::string("{\"status\": \"OK\", \"converged\": ") +
+             (sess->engine->converged() ? "true" : "false") + "}";
+    }
+    if (op == "leave") return R"({"status": "OK"})";
+    return R"({"status": "FAIL", "error": "unknown op"})";
+  }
+
+  Session* find(int sid) {
+    std::lock_guard<std::mutex> lk(mu_);
+    auto it = sessions_.find(sid);
+    return it == sessions_.end() ? nullptr : it->second.get();
+  }
+
+  // ---- HTTP monitor ---------------------------------------------------
+  void handle_http(int cfd) {
+    char req[4096] = {0};
+    recv(cfd, req, sizeof(req) - 1, 0);
+    std::string path = "/";
+    {
+      std::string r(req);
+      auto sp1 = r.find(' ');
+      auto sp2 = r.find(' ', sp1 + 1);
+      if (sp1 != std::string::npos && sp2 != std::string::npos)
+        path = r.substr(sp1 + 1, sp2 - sp1 - 1);
+    }
+    std::string body, ctype = "text/html";
+    if (path.rfind("/api/sessions", 0) == 0) {
+      ctype = "application/json";
+      body = "[";
+      std::lock_guard<std::mutex> lk(mu_);
+      bool first = true;
+      for (auto& [sid, s] : sessions_) {
+        std::lock_guard<std::mutex> lk2(s->mu);
+        if (!first) body += ", ";
+        first = false;
+        body += "{\"id\": " + std::to_string(sid) + ", \"name\": \"" +
+                s->name + "\", \"trials\": " + std::to_string(s->trials) +
+                ", \"converged\": " +
+                (s->engine->converged() ? "true" : "false") + "}";
+      }
+      body += "]";
+    } else {
+      body = "<html><head><title>offt-tpu tuning (native)</title></head>"
+             "<body><h2>offt-tpu native tuning server</h2>"
+             "<table border=1><tr><th>session</th><th>trials</th>"
+             "<th>best</th><th>converged</th></tr>";
+      std::lock_guard<std::mutex> lk(mu_);
+      for (auto& [sid, s] : sessions_) {
+        std::lock_guard<std::mutex> lk2(s->mu);
+        body += "<tr><td>" + s->name + "</td><td>" +
+                std::to_string(s->trials) + "</td><td>" +
+                std::to_string(s->best_perf) + "</td><td>" +
+                (s->engine->converged() ? "yes" : "no") + "</td></tr>";
+      }
+      body += "</table></body></html>";
+    }
+    std::string hdr = "HTTP/1.0 200 OK\r\nContent-Type: " + ctype +
+                      "\r\nContent-Length: " + std::to_string(body.size()) +
+                      "\r\n\r\n";
+    std::string all = hdr + body;
+    send(cfd, all.data(), all.size(), MSG_NOSIGNAL);
+  }
+
+  int fd_;
+  int port_;
+  std::mutex mu_;
+  std::map<int, std::unique_ptr<Session>> sessions_;
+  int next_id_ = 1;
+};
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  const char* host = "127.0.0.1";
+  int port = 1979;  // the reference's default (defaults.h:24)
+  for (int i = 1; i < argc - 1; ++i) {
+    if (!strcmp(argv[i], "--port")) port = atoi(argv[i + 1]);
+    if (!strcmp(argv[i], "--host")) host = argv[i + 1];
+  }
+  Server srv(host, port);
+  printf("offt-tpu native tuning server on %s:%d\n", host, srv.port());
+  fflush(stdout);
+  srv.serve();
+  return 0;
+}

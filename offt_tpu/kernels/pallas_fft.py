@@ -283,7 +283,10 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
     shape3 = (pre, n, lanes)
     xr3 = xr.reshape(shape3)
     xi3 = xi.reshape(shape3)
-    tl = block_lanes or max(128, min(1024, (1 << 21) // max(n, 1) & ~127))
+    # VMEM budget: 4 planar arrays (in+out) are double-buffered across grid
+    # steps plus ~2 block-sized intermediates -> keep n*tl*4B around 1 MiB
+    # (n=512, tl=1024 measured 21.4M scoped vmem > the 16M limit)
+    tl = block_lanes or max(128, min(1024, ((1 << 18) // max(n, 1)) & ~127))
     tl = min(tl, lanes)
     if lanes % tl != 0:
         # shrink to a divisor of lanes (lanes is a product of pow2-ish dims)
@@ -386,7 +389,8 @@ def fft_1d_complex(x, axis: int = -1, inverse: bool = False, radices=None,
 # --------------------------------------------------------------------------
 
 # conservative VMEM budget for one (Y, Z) planar slab + stage intermediates
-_SLAB_VMEM_LIMIT = 512 * 512
+# (512x512 measured 16.34M > the 16M scoped-vmem limit on v5e)
+_SLAB_VMEM_LIMIT = 256 * 512
 
 
 def _slab_kernel(xr_ref, xi_ref, g1z, g2z, twrz, twiz, g1y, g2y, twry, twiy,

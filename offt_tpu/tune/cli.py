@@ -126,9 +126,16 @@ def main(argv=None):
                 return INF
             return wall
 
+    spawned = None
     if ns.server:
         from .client import ServiceClient
-        host, _, port = ns.server.partition(":")
+        if ns.server == "auto":
+            # auto-spawn the native server (tuna.c:164-197 parity)
+            from .engine_cpp import spawn_server
+            spawned, port_num = spawn_server()
+            host, port = "127.0.0.1", str(port_num)
+        else:
+            host, _, port = ns.server.partition(":")
         strategy = ServiceClient(host or "127.0.0.1", int(port or 1979))
         strategy.create_session([(d.name, list(range(len(d.values))))
                                  for d in dims],
@@ -149,6 +156,8 @@ def main(argv=None):
            "trials": len(tuner.trials),
            "converged": tuner.strategy.converged()}
     print(json.dumps(out))
+    if spawned is not None:
+        spawned.kill()  # offt kills its spawned server too (offt-tuning.c:1018)
     return 0 if best is not None else 1
 
 

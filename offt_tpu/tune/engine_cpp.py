@@ -136,3 +136,41 @@ def make_native_strategy(name: str, space, **kw) -> NativeStrategy:
     if name not in ("nm", "pro", "random", "brute"):
         raise ValueError(f"native engine has no strategy {name!r}")
     return NativeStrategy(name, space, **kw)
+
+
+# ---------------------------------------------------------------------------
+# native tuning server (hserver parity: native/offt_tune_server.cpp)
+# ---------------------------------------------------------------------------
+
+_SERVER_SRC = _NATIVE_DIR / "offt_tune_server.cpp"
+_SERVER_BIN = _BUILD_DIR / "offt-tune-server"
+
+
+def build_server(force: bool = False) -> pathlib.Path:
+    """Compile the native tuning server if needed; returns the binary path."""
+    if _SERVER_BIN.exists() and not force:
+        newest = max(_SERVER_SRC.stat().st_mtime,
+                     (_NATIVE_DIR / "engine.hpp").stat().st_mtime)
+        if _SERVER_BIN.stat().st_mtime >= newest:
+            return _SERVER_BIN
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    cmd = ["g++", "-O2", "-std=c++17", "-pthread",
+           "-o", str(_SERVER_BIN), str(_SERVER_SRC)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SERVER_BIN
+
+
+def spawn_server(port: int = 0, host: str = "127.0.0.1"):
+    """Launch the native server (auto-spawn parity with tuna.c:164-197 /
+    offt-tuning.c:798-837 launch_silent). Returns (Popen, actual_port)."""
+    binpath = build_server()
+    proc = subprocess.Popen(
+        [str(binpath), "--host", host, "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    line = proc.stdout.readline()  # "offt-tpu native tuning server on h:p"
+    try:
+        actual = int(line.rsplit(":", 1)[1])
+    except (ValueError, IndexError):
+        proc.kill()
+        raise RuntimeError(f"native server failed to start: {line!r}")
+    return proc, actual

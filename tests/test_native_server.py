@@ -1,0 +1,86 @@
+"""Native C++ tuning server (hserver parity) driven by the Python client —
+cross-language protocol validation."""
+
+import json
+import urllib.request
+
+import pytest
+
+engine_cpp = pytest.importorskip("offt_tpu.tune.engine_cpp")
+
+if not engine_cpp.available():
+    pytest.skip("no native toolchain", allow_module_level=True)
+
+from offt_tpu.tune.client import ServiceClient
+from offt_tpu.tune.synth import ah_quadratic
+
+
+@pytest.fixture()
+def native_server():
+    proc, port = engine_cpp.spawn_server()
+    yield port
+    proc.kill()
+    proc.wait()
+
+
+def test_native_nm_session(native_server):
+    with ServiceClient("127.0.0.1", native_server) as c:
+        dims = [(f"v{i}", list(range(1, 101))) for i in range(6)]
+        c.create_session(dims, strategy="nm", seed=2)
+        best = float("inf")
+        for _ in range(300):
+            pt = c.generate()
+            if pt is None:
+                break
+            perf = ah_quadratic([p + 1 for p in pt])
+            best = min(best, perf)
+            c.analyze(pt, perf)
+            if c.converged():
+                break
+        assert best <= 400
+        assert c.best() is not None
+
+
+def test_native_http_monitor(native_server):
+    with ServiceClient("127.0.0.1", native_server) as c:
+        c.create_session([("x", list(range(8)))], strategy="random",
+                         name="probe")
+        pt = c.generate()
+        c.analyze(pt, 1.0)
+    api = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{native_server}/api/sessions", timeout=5).read())
+    assert api and api[0]["name"] == "probe" and api[0]["trials"] == 1
+    page = urllib.request.urlopen(
+        f"http://127.0.0.1:{native_server}/", timeout=5).read().decode()
+    assert "probe" in page
+
+
+def test_native_server_bad_input(native_server):
+    import socket
+
+    with socket.create_connection(("127.0.0.1", native_server), 5) as s:
+        fh = s.makefile("rwb")
+        fh.write(b'{"op": "fetch", "session": 42}\n')
+        fh.flush()
+        assert json.loads(fh.readline())["status"] == "FAIL"
+        fh.write(b'{"op": "session", "dims": []}\n')
+        fh.flush()
+        assert json.loads(fh.readline())["status"] == "FAIL"
+        fh.write(b"garbage\n")
+        fh.flush()
+        assert json.loads(fh.readline())["status"] == "FAIL"
+
+
+def test_two_sessions_isolated(native_server):
+    with ServiceClient("127.0.0.1", native_server) as c1, \
+         ServiceClient("127.0.0.1", native_server) as c2:
+        s1 = c1.create_session([("a", list(range(5)))], strategy="brute")
+        s2 = c2.create_session([("b", list(range(7)))], strategy="brute")
+        assert s1 != s2
+        p1 = c1.generate()
+        p2 = c2.generate()
+        assert len(p1) == 1 and len(p2) == 1
+        c1.analyze(p1, 1.0)
+        c2.analyze(p2, 2.0)
+        assert c1.best() == list(p1)
+        assert c2.best() == list(p2)
