@@ -59,15 +59,14 @@ def _bench_chained(fn, args, reps):
     import jax
 
     def chain(k):
-        out = args
+        # re-issue the same inputs (the device queue serializes executions;
+        # feeding transposed-out shardings back into pinned in_shardings
+        # would error)
         t0 = time.perf_counter()
+        res = None
         for _ in range(k):
-            res = fn(*out)
-            out = res if isinstance(res, tuple) else (res,)
-            if any(o.shape != a.shape or o.dtype != a.dtype
-                   for o, a in zip(out, args)):
-                out = args
-        leaf = out[0]
+            res = fn(*args)
+        leaf = res[0] if isinstance(res, tuple) else res
         _ = np.asarray(jax.device_get(leaf)).ravel()[0]
         return time.perf_counter() - t0
 

@@ -50,3 +50,8 @@ def rastrigin(vals, a: float = 10.0) -> float:
     """Multi-modal test fn (minimum 0 at origin) for strategy robustness."""
     v = np.asarray(vals, float)
     return float(a * len(v) + np.sum(v * v - a * np.cos(2 * np.pi * v)))
+
+
+def _cli_test_obj(a: int, b: int) -> float:
+    """Tiny known-optimum objective for offt-tune --pyfn tests."""
+    return float((a - 20) ** 2 + (b - 33) ** 2)

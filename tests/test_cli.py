@@ -1,0 +1,67 @@
+"""CLI smoke tests (runfft driver + offt-tune) via subprocess on CPU."""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def run_cli(args, timeout=110):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("OFFT_TPU_TEST_REAL", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    # conftest's jax.config trick is unavailable in a fresh process; the
+    # axon plugin yields to JAX_PLATFORMS only when axon is absent — use a
+    # sitecustomize-free hack: run through python -c with config update
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['prog'] + %r;"
+        "from offt_tpu.bench.runfft import main as m1;"
+        "from offt_tpu.tune.cli import main as m2;"
+        "tgt = m1 if %r == 'bench' else m2;"
+        "raise SystemExit(tgt())"
+    )
+    kind = "bench" if args[0] == "bench" else "tune"
+    out = subprocess.run(
+        [sys.executable, "-c", code % (args[1:], kind)],
+        capture_output=True, text=True, cwd=str(REPO), env=env,
+        timeout=timeout)
+    return out
+
+
+def test_runfft_offt_small():
+    out = run_cli(["bench", "-N", "16", "-a", "offt", "-r", "2", "--verify"])
+    assert out.returncode == 0, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["algo"] == "offt" and rec["t_ms"] > 0
+    assert "verify rel_err" in out.stderr
+
+
+def test_runfft_mesh():
+    out = run_cli(["bench", "-N", "16", "-a", "offt", "--p1", "2",
+                   "--p2", "4", "-r", "1", "--t1", "2", "--ry", "5"])
+    assert out.returncode == 0, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["gflops"] > 0
+
+
+def test_runfft_numpy_baseline():
+    out = run_cli(["bench", "-N", "16", "-a", "numpy", "-r", "1"])
+    assert out.returncode == 0
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["algo"] == "numpy"
+
+
+def test_offt_tune_pyfn():
+    out = run_cli(["tune", "-i", "a:1:50", "-i", "b:1:50", "-s", "nm",
+                   "-l", "60", "-q", "--pyfn",
+                   "offt_tpu.tune.synth:_cli_test_obj"])
+    assert out.returncode == 0, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["perf"] <= 9  # near the (20, 33) optimum
