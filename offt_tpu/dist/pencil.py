@@ -39,8 +39,6 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-import jax.numpy as _jnp
-
 from ..kernels import pallas_fft
 from ..kernels.stockham import fft_1d
 from ..plan.params import TRANSPOSE_PPERMUTE, PlanParams
@@ -50,7 +48,7 @@ from .mesh import COL, ROW, mesh_shape
 def axis_fft(c, axis: int, inverse: bool, radices, params: PlanParams):
     """Local 1-D transform dispatch: fused Pallas kernel when enabled and
     expressible (complex64, 2-stage radix), else the unfused matmul path."""
-    if (params.use_pallas and c.dtype == _jnp.complex64
+    if (params.use_pallas and c.dtype == jnp.complex64
             and pallas_fft.can_use_pallas(c.shape[axis], radices)):
         return pallas_fft.fft_1d_complex(c, axis=axis, inverse=inverse,
                                          radices=radices,
