@@ -269,7 +269,18 @@ def _jit_plan_fn(spec: ProblemSpec, raw_fn, in_shard, out_shard, planar: bool):
 
 
 def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
-              planar: bool = False):
+              planar: bool = False, out_scale: float = 1.0):
+    def _scaled(fn_inner):
+        if out_scale == 1.0:
+            return fn_inner
+
+        def wrapped(*a):
+            y = fn_inner(*a)
+            if isinstance(y, tuple):
+                return tuple(o * out_scale for o in y)
+            return y * out_scale
+        return wrapped
+
     # planar-native fast path: local c2c with fused kernels never touches a
     # complex dtype at all (zero conversion passes)
     if (planar and mesh is None and not spec.real and params.use_pallas
@@ -285,9 +296,24 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                     rad_z=params.radix_z, rad_y=params.radix_y,
                     rad_x=params.radix_x, precision=params.precision,
                     block=params.block_batch)
-            return jax.jit(fn), True
+            return jax.jit(_scaled(fn)), True
     raw_fn, in_shard, out_shard = _build_raw(spec, params, mesh, ndim)
-    return _jit_plan_fn(spec, raw_fn, in_shard, out_shard, planar)
+    return _jit_plan_fn(spec, _scaled(raw_fn), in_shard, out_shard, planar)
+
+
+def _norm_scale(norm: str, inverse: bool, total: int) -> float:
+    """numpy norm conventions: backward (default) scales the inverse by
+    1/N; ortho scales both by 1/sqrt(N); forward scales the forward by
+    1/N. Internally the pipelines are backward-normalized, so this returns
+    the extra output factor to apply (1.0 = none)."""
+    import math
+    if norm in (None, "backward"):
+        return 1.0
+    if norm == "ortho":
+        return math.sqrt(total) if inverse else 1.0 / math.sqrt(total)
+    if norm == "forward":
+        return float(total) if inverse else 1.0 / total
+    raise ValueError(f"norm must be backward|ortho|forward, got {norm!r}")
 
 
 def plan(
@@ -301,13 +327,14 @@ def plan(
     params: Optional[PlanParams] = None,
     use_cache: bool = True,
     planar: bool = False,
+    norm: Optional[str] = None,
 ) -> Plan:
     """Build a 3-D FFT plan. ``shape`` is the spatial (Nx, Ny, Nz).
 
     ``planar=True`` moves complex operands/results across the jit boundary
     as (real, imag) float pairs — required on TPU runtimes that cannot
     transfer complex arrays, and zero-cost otherwise (the split/combine is
-    fused by XLA).
+    fused by XLA). ``norm`` follows numpy (backward | ortho | forward).
     """
     if len(shape) != 3:
         raise ValueError(f"shape must be (Nx, Ny, Nz), got {shape}")
@@ -330,7 +357,9 @@ def plan(
     if reason is not None:
         raise ValueError(f"infeasible plan: {reason}")
     ndim = batch_dims + 3
-    fn, in_planar = _build_fn(spec, params, mesh, ndim, planar=planar)
+    scale = _norm_scale(norm, inverse, shape[0] * shape[1] * shape[2])
+    fn, in_planar = _build_fn(spec, params, mesh, ndim, planar=planar,
+                              out_scale=scale)
     return Plan(spec=spec, params=params, mesh=mesh, ndim=ndim, _fn=fn,
                 planar=planar, _in_planar=in_planar)
 

@@ -77,3 +77,24 @@ def test_plan_objects():
     y1 = p(x)
     y2 = p.execute(x)
     assert rel_err(y1, y2) == 0
+
+
+@pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
+def test_norm_conventions(norm):
+    x = rand_c((8, 8, 8), np.complex128, seed=42)
+    p = offt_tpu.plan((8, 8, 8), x.dtype, norm=norm)
+    got = np.asarray(p(x))
+    want = np.fft.fftn(x, norm=norm)
+    assert rel_err(got, want) < 1e-12
+    pi = offt_tpu.plan((8, 8, 8), x.dtype, inverse=True, norm=norm)
+    got_i = np.asarray(pi(x))
+    want_i = np.fft.ifftn(x, norm=norm)
+    assert rel_err(got_i, want_i) < 1e-12
+    # roundtrip is identity for every convention
+    rt = np.asarray(pi(np.asarray(p(x))))
+    assert rel_err(rt, x) < 1e-12
+
+
+def test_norm_invalid():
+    with pytest.raises(ValueError):
+        offt_tpu.plan((8, 8, 8), "complex64", norm="bogus")
