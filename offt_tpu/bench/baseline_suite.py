@@ -31,7 +31,7 @@ def _timeit(fn, args, k1=2, k2=10, tries=2):
         for _ in range(k):
             res = fn(*args)
         leaf = res[0] if isinstance(res, tuple) else res
-        _ = np.asarray(jax.device_get(leaf)).ravel()[0]
+        _ = float(leaf[(0,) * leaf.ndim])  # single-element readback
         return time.perf_counter() - t0
 
     chain(1)

@@ -67,7 +67,7 @@ def _bench_chained(fn, args, reps):
         for _ in range(k):
             res = fn(*args)
         leaf = res[0] if isinstance(res, tuple) else res
-        _ = np.asarray(jax.device_get(leaf)).ravel()[0]
+        _ = float(leaf[(0,) * leaf.ndim])  # single-element readback
         return time.perf_counter() - t0
 
     chain(1)

@@ -35,7 +35,7 @@ def time_fn(fn: Callable, args: tuple, k_small: int = 2, k_large: int = 12,
                     for o, a in zip(out, args)):
                 out = args
         leaf = out[0]
-        _ = np.asarray(jax.device_get(leaf)).ravel()[0]
+        _ = float(leaf[(0,) * leaf.ndim])  # single-element readback
         return time.perf_counter() - t0
 
     chain(k_small)

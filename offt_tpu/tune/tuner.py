@@ -350,13 +350,15 @@ def tune(
                 for _ in range(k):
                     res = compiled(*shared_args)
                 leaf = res[0] if isinstance(res, tuple) else res
-                _ = np.asarray(_jax.device_get(leaf)).ravel()[0]
+                # single-element readback: fetching the whole array costs
+                # hundreds of ms over tunneled runtimes and drowns the signal
+                _ = float(leaf[(0,) * leaf.ndim])
                 return time.perf_counter() - t0
 
             chain(1)
-            t_s = min(chain(1) for _ in range(2))
-            t_l = min(chain(5) for _ in range(2))
-            return max((t_l - t_s) / 4, 1e-9)
+            t_s = min(chain(1) for _ in range(3))
+            t_l = min(chain(9) for _ in range(3))
+            return max((t_l - t_s) / 8, 1e-9)
 
     # seed the search with the heuristic default point (and always time it:
     # it is the >=20%-improvement baseline)
