@@ -40,6 +40,11 @@ class Dimension:
 class SearchSpace:
     spec: ProblemSpec
     dims: tuple[Dimension, ...]
+    # expression constraints over parameter names, e.g. "t1 <= 2 * t2" —
+    # the analogue of Active Harmony's Omega constraint plugin
+    # (plugins/constraint.c: user constraint text filters candidate points
+    # before they reach clients, REJECTing violators back to the strategy)
+    constraints: tuple[str, ...] = ()
 
     @property
     def names(self) -> tuple[str, ...]:
@@ -86,7 +91,22 @@ class SearchSpace:
         return tuple(out)
 
     def infeasible_reason(self, point: Point) -> Optional[str]:
-        return infeasible_reason(self.spec, self.to_params(point))
+        params = self.to_params(point)
+        reason = infeasible_reason(self.spec, params)
+        if reason is not None:
+            return reason
+        if self.constraints:
+            env = {d.name: d.values[int(i)]
+                   for i, d in zip(point, self.dims)}
+            for expr in self.constraints:
+                try:
+                    ok = bool(eval(expr, {"__builtins__": {}},
+                                   dict(env, min=min, max=max, abs=abs)))
+                except Exception as e:
+                    return f"constraint {expr!r} errored: {e!r}"
+                if not ok:
+                    return f"constraint violated: {expr}"
+        return None
 
     def random_point(self, rng) -> Point:
         return tuple(int(rng.integers(0, len(d))) for d in self.dims)
@@ -124,6 +144,7 @@ def build_space(
     include_radix: bool = True,
     max_tile: int = 16,
     include_pallas: Optional[bool] = None,
+    constraints: tuple[str, ...] = (),
 ) -> SearchSpace:
     """The TPU plan search space (SURVEY.md §2c surviving-knob mapping)."""
     nx, ny, nz = spec.shape
@@ -162,7 +183,8 @@ def build_space(
         # Pallas block shape (lanes for sublane kernels / rows for the
         # last-axis kernel); 0 = built-in heuristic
         dims.append(Dimension("block_batch", (0, 128, 256, 512, 1024)))
-    return SearchSpace(spec=spec, dims=tuple(dims))
+    return SearchSpace(spec=spec, dims=tuple(dims),
+                       constraints=tuple(constraints))
 
 
 def grid_iter(space: SearchSpace):

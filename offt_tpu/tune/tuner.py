@@ -360,12 +360,17 @@ def tune(
             t_l = min(chain(9) for _ in range(3))
             return max((t_l - t_s) / 8, 1e-9)
 
-    # seed the search with the heuristic default point (and always time it:
-    # it is the >=20%-improvement baseline)
+    # seed the search with the hybrid-random initial simplex (default
+    # heuristic point first, forced P1 coverage, biased random rest —
+    # write_initial_simplex parity, offt-tuning.c:426-738)
+    from .simplex import hybrid_initial_simplex
+
     dflt = default_params(spec, p1=fixed_p1)
     dflt_point = space.from_params(dflt)
+    init_simplex = hybrid_initial_simplex(space, seed=seed)
     tuner = Tuner(space, objective, strategy=strategy, max_trials=max_trials,
-                  seed=seed, log=log, init_points=[dflt],
+                  seed=seed, log=log,
+                  init_points=[space.to_params(pt) for pt in init_simplex],
                   compile_fn=compile_fn, measure_fn=measure_fn)
     if log_path:
         resumed = tuner.load_db(log_path)

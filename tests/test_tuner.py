@@ -142,3 +142,36 @@ def test_tune_trivial_space_returns_default(tmp_path, monkeypatch):
                timer=lambda plan: 0.123, include_radix=False)
     assert res.converged
     assert res.best_perf == 0.123
+
+
+def test_hybrid_initial_simplex():
+    from offt_tpu.tune.simplex import hybrid_initial_simplex
+
+    spec = ProblemSpec(shape=(16, 16, 16), p=8)
+    space = build_space(spec)
+    pts = hybrid_initial_simplex(space, seed=3)
+    assert len(pts) == len(space.dims) + 1
+    assert len(set(pts)) == len(pts)  # distinct vertices
+    # vertex 0 is the default heuristic point
+    from offt_tpu.plan.params import default_params
+    assert pts[0] == space.from_params(default_params(spec))
+    # forced P1 coverage: slab-both-ways and near-square present
+    i_p1 = space.names.index("p1")
+    p1_vals = {space.dims[i_p1].values[pt[i_p1]] for pt in pts}
+    assert {1, 8} <= p1_vals
+
+
+def test_expression_constraints():
+    spec = ProblemSpec(shape=(64, 64, 64), p=8)
+    space = build_space(spec, include_radix=False,
+                        constraints=("t1 <= t2", "w1 + w2 <= 4"))
+    names = space.names
+    pt = list(space.from_params(space.to_params((0,) * len(names))))
+    pt[names.index("t1")] = 2   # t1 = 4
+    pt[names.index("t2")] = 0   # t2 = 1
+    assert "constraint violated" in space.infeasible_reason(tuple(pt))
+    pt[names.index("t2")] = 2
+    assert space.infeasible_reason(tuple(pt)) is None
+    bad = build_space(spec, include_radix=False,
+                      constraints=("nonsense ===",))
+    assert "errored" in bad.infeasible_reason(tuple(0 for _ in bad.dims))
