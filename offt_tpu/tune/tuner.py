@@ -154,7 +154,13 @@ class Tuner:
         try:
             for ev in read_events(log_path):
                 if ev.get("kind") == "trial" and "perf" in ev:
-                    self.db[tuple(ev["point"])] = float(ev["perf"])
+                    perf = float(ev["perf"])
+                    # sanitize: no real plan executes in <100ns; such
+                    # entries are artifacts of broken timers and would
+                    # poison the search as unbeatable "best" points
+                    if perf < 1e-7:
+                        continue
+                    self.db[tuple(ev["point"])] = perf
                     n += 1
         except FileNotFoundError:
             pass
