@@ -187,6 +187,30 @@ def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int):
             return _local_fft3d(x, spec.inverse, spec.real, nz, params)
         return fn, None, None
 
+    if spec.batch_sharded:
+        # batched transforms with batch >= devices: shard the batch axis
+        # over the WHOLE mesh and keep each 3-D transform device-local —
+        # zero collectives (the spectral-solver fast path of BASELINE
+        # config 5; the reference has no analogue)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = (meshlib.ROW, meshlib.COL)
+        spec_b = P(axes, *(None,) * (ndim - 1))
+        shard = NamedSharding(mesh, spec_b)
+
+        def local_fn(xl):
+            return _local_fft3d(xl, spec.inverse, spec.real, nz, params)
+
+        sm_b = jax.shard_map(local_fn, mesh=mesh, in_specs=spec_b,
+                             out_specs=spec_b, check_vma=False)
+
+        def fn(x):
+            if not spec.real or spec.inverse:
+                x = x.astype(_as_complex_dtype(x.dtype))
+            return sm_b(x)
+
+        return fn, shard, shard
+
     p1, p2 = meshlib.mesh_shape(mesh)
     # axis paddings (no-ops when divisible)
     nxp1 = _ceil_to(nx, p1)
@@ -328,6 +352,7 @@ def plan(
     use_cache: bool = True,
     planar: bool = False,
     norm: Optional[str] = None,
+    batch_sharded: bool = False,
 ) -> Plan:
     """Build a 3-D FFT plan. ``shape`` is the spatial (Nx, Ny, Nz).
 
@@ -338,9 +363,12 @@ def plan(
     """
     if len(shape) != 3:
         raise ValueError(f"shape must be (Nx, Ny, Nz), got {shape}")
+    if batch_sharded and (mesh is None or batch_dims < 1):
+        raise ValueError("batch_sharded needs a mesh and batch_dims >= 1")
     p = 1 if mesh is None else mesh.devices.size
     spec = ProblemSpec(shape=tuple(shape), dtype=str(jnp.dtype(dtype)),
-                       real=real, inverse=inverse, p=p)
+                       real=real, inverse=inverse, p=p,
+                       batch_sharded=batch_sharded)
     if params is None and use_cache:
         if mesh is not None:
             p1, p2 = meshlib.mesh_shape(mesh)

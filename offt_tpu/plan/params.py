@@ -121,6 +121,9 @@ class ProblemSpec:
     inverse: bool = False
     batch: int = 1
     p: int = 1                  # total device count
+    # shard the leading batch axis over all devices instead of the spatial
+    # pencil decomposition (zero-collective mode for batch >= p)
+    batch_sharded: bool = False
 
     @property
     def nz_freq(self) -> int:

@@ -146,3 +146,27 @@ def test_nonsquare_dims():
     x = rand_c((8, 16, 32), seed=17)
     got = offt_tpu.fft3d(x, mesh=mesh)
     assert rel_err(got, np.fft.fftn(x)) < 1e-12
+
+
+def test_batch_sharded_plan():
+    """Zero-collective batched mode: batch axis over the whole mesh."""
+    mesh = make_mesh(2, 4)
+    x = rand_c((8, 16, 16, 16), np.complex64, seed=21)
+    p = offt_tpu.plan((16, 16, 16), "complex64", mesh=mesh, batch_dims=1,
+                      batch_sharded=True)
+    y = p(x)
+    want = np.fft.fftn(x, axes=(-3, -2, -1))
+    assert rel_err(y, want) < 1e-5
+    from jax.sharding import PartitionSpec as P
+    assert y.sharding.spec[0] == ("row", "col")
+    # inverse roundtrip in the same mode
+    pi = offt_tpu.plan((16, 16, 16), "complex64", mesh=mesh, batch_dims=1,
+                       batch_sharded=True, inverse=True)
+    rt = pi(np.asarray(y))
+    assert rel_err(rt, x) < 1e-5
+
+
+def test_batch_sharded_requires_mesh():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        offt_tpu.plan((16, 16, 16), "complex64", batch_sharded=True)
