@@ -173,10 +173,11 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
     if p % params.p1 != 0:
         return f"p1={params.p1} does not divide p={p}"
     p2 = p // params.p1
-    if params.p1 > min(nx, ny):
-        return f"p1={params.p1} exceeds min(Nx,Ny)={min(nx, ny)}"
-    if p2 > min(ny, nz):
-        return f"p2={p2} exceeds min(Ny,Nz)={min(ny, nz)}"
+    # NOTE: the reference also requires p1 <= min(Nx,Ny) and p2 <= min(Ny,Nz)
+    # (offt-compute.c:3005-3023) because every rank must own >= 1 plane.
+    # Padded static shards lift that: oversubscribed mesh axes just carry
+    # garbage planes on the tail devices. p1_candidates stays conservative
+    # so the *tuner* doesn't waste trials there.
     # tiles must not exceed the per-device pencil-batch extents they chunk
     m1 = -(-nx // params.p1)            # x rows per device, phase 1
     m3 = -(-nzf // p2)                  # z planes per device, phase 2
