@@ -356,7 +356,7 @@ def fft3d_planar(xr, xi, inverse: bool = False,
         # stride is a bank-conflicting power of two
         nx_ = xr.shape[ax]
         row_stride = ny * nz * 4
-        use_padded_x = (fuse and xr.ndim == 3
+        use_padded_x = (fuse
                         and can_use_padded_x(nx_, ny, nz, rad_x)
                         and row_stride >= (1 << 16)
                         and (row_stride & (row_stride - 1)) == 0)
@@ -488,14 +488,14 @@ _STRIDE_PAD = 8
 
 def _x_strided_kernel(xr_ref, xi_ref, g1, g2, twr, twi, or_ref, oi_ref,
                       *, r1: int, r2: int, precision: str):
-    n = xr_ref.shape[0]
-    ty, z = xr_ref.shape[1], xr_ref.shape[2]
-    xr = xr_ref[:].reshape(n, ty * z)
-    xi = xi_ref[:].reshape(n, ty * z)
+    # blocks are (1, X, TY, TZ)
+    n, ty, z = xr_ref.shape[1], xr_ref.shape[2], xr_ref.shape[3]
+    xr = xr_ref[0].reshape(n, ty * z)
+    xi = xi_ref[0].reshape(n, ty * z)
     yr, yi = _sublane_core(xr, xi, g1[:], g2[:], twr[:], twi[:],
                            r1, r2, precision)
-    or_ref[:] = yr.reshape(n, ty, z)
-    oi_ref[:] = yi.reshape(n, ty, z)
+    or_ref[0] = yr.reshape(n, ty, z)
+    oi_ref[0] = yi.reshape(n, ty, z)
 
 
 def can_use_padded_x(n: int, ny: int, nz: int, radices=None) -> bool:
@@ -508,10 +508,14 @@ def can_use_padded_x(n: int, ny: int, nz: int, radices=None) -> bool:
 
 def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
                       radices=None, precision: str = DEFAULT_PRECISION):
-    """x-axis FFT over a (X, Y, Z+pad) padded intermediate; writes the
-    unpadded (X, Y, Z) result. Input blocks are pitched (X, 8, 128) reads
-    that skip the pad lanes entirely."""
-    n, ny, zp = xr3.shape
+    """x-axis FFT over a (..., X, Y, Z+pad) padded intermediate; writes the
+    unpadded (..., X, Y, Z) result. Input blocks are pitched (X, 8, 128)
+    reads that skip the pad lanes entirely; leading dims become grid dims."""
+    lead = xr3.shape[:-3]
+    b = int(np.prod(lead)) if lead else 1
+    n, ny, zp = xr3.shape[-3:]
+    xr4 = xr3.reshape(b, n, ny, zp)
+    xi4 = xi3.reshape(b, n, ny, zp)
     pick = _pick_2stage(n, radices)
     if pick is None:
         raise ValueError(f"N={n} not 2-stage expressible")
@@ -521,18 +525,19 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
     consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
     kernel = functools.partial(_x_strided_kernel, r1=r1, r2=r2,
                                precision=precision)
-    blk = pl.BlockSpec((n, ty, tz), lambda j, k: (0, j, k),
+    blk = pl.BlockSpec((1, n, ty, tz), lambda i, j, k: (i, 0, j, k),
                        memory_space=pltpu.VMEM)
-    const_spec = [pl.BlockSpec(c.shape, lambda j, k, c=c: (0,) * c.ndim,
+    const_spec = [pl.BlockSpec(c.shape, lambda i, j, k, c=c: (0,) * c.ndim,
                                memory_space=pltpu.VMEM) for c in consts]
-    out_shape = (n, ny, z_true)
+    out_shape4 = (b, n, ny, z_true)
     yr, yi = pl.pallas_call(
         kernel,
-        grid=(ny // ty, z_true // tz),
+        grid=(b, ny // ty, z_true // tz),
         in_specs=[blk, blk] + const_spec,
         out_specs=(blk, blk),
-        out_shape=(jax.ShapeDtypeStruct(out_shape, jnp.float32),
-                   jax.ShapeDtypeStruct(out_shape, jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct(out_shape4, jnp.float32),
+                   jax.ShapeDtypeStruct(out_shape4, jnp.float32)),
         interpret=_interpret(),
-    )(xr3, xi3, *consts)
-    return yr, yi
+    )(xr4, xi4, *consts)
+    out_shape = lead + (n, ny, z_true)
+    return yr.reshape(out_shape), yi.reshape(out_shape)
