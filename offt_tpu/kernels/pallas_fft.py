@@ -410,16 +410,21 @@ _SLAB_VMEM_LIMIT = 256 * 512
 def _slab_kernel(xr_ref, xi_ref, g1z, g2z, twrz, twiz, g1y, g2y, twry, twiy,
                  or_ref, oi_ref, *, rz: tuple, ry: tuple,
                  precision: str = DEFAULT_PRECISION):
-    xr = xr_ref[0]            # (Y, Z)
-    xi = xi_ref[0]
-    # z transform: put z on sublanes
+    # blocks are (TB, Y, Z): TB x-rows per block (bigger DMAs for small
+    # slabs); the z stage batches all TB*Y pencils in one transposed core
+    # call, the y stage runs per-row (y must be on sublanes per slab)
+    tb, ny, nz = xr_ref.shape
+    xr = xr_ref[:].reshape(tb * ny, nz)
+    xi = xi_ref[:].reshape(tb * ny, nz)
     zr, zi = _sublane_core(xr.T, xi.T, g1z[:], g2z[:], twrz[:], twiz[:],
-                           rz[0], rz[1], precision)          # (Z, Y)
-    # y transform: transpose back so y is on sublanes
-    yr, yi = _sublane_core(zr.T, zi.T, g1y[:], g2y[:], twry[:], twiy[:],
-                           ry[0], ry[1], precision)          # (Y, Z)
-    or_ref[0] = yr
-    oi_ref[0] = yi
+                           rz[0], rz[1], precision)          # (Z, TB*Y)
+    zr = zr.T.reshape(tb, ny, nz)
+    zi = zi.T.reshape(tb, ny, nz)
+    for t in range(tb):
+        yr, yi = _sublane_core(zr[t], zi[t], g1y[:], g2y[:], twry[:], twiy[:],
+                               ry[0], ry[1], precision)      # (Y, Z)
+        or_ref[t] = yr
+        oi_ref[t] = yi
 
 
 def can_fuse_slab(ny: int, nz: int, rad_y=None, rad_z=None) -> bool:
@@ -453,16 +458,22 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
               (tz["g1"], tz["g2"], tz["twr"], tz["twi"],
                ty["g1"], ty["g2"], ty["twr"], ty["twi"])]
     kernel = functools.partial(_slab_kernel, rz=rz, ry=ry, precision=precision)
-    blk = pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0),
-                       memory_space=pltpu.VMEM)
+    # multiple x-rows per block when slabs are small (target ~512 KiB)
+    tb = max(1, min(8, (1 << 17) // max(ny * nz, 1)))
+    while p % tb != 0:
+        tb -= 1
+    in_blk = pl.BlockSpec((tb, ny, nz), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((tb, ny, nz), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     const_spec = [pl.BlockSpec(c.shape, lambda i, c=c: (0,) * c.ndim,
                                memory_space=pltpu.VMEM) for c in consts]
     out_shape3 = (p, ny, nz + zpad)
     yr, yi = pl.pallas_call(
         kernel,
-        grid=(p,),
-        in_specs=[blk, blk] + const_spec,
-        out_specs=(blk, blk),
+        grid=(p // tb,),
+        in_specs=[in_blk, in_blk] + const_spec,
+        out_specs=(out_blk, out_blk),
         out_shape=(jax.ShapeDtypeStruct(out_shape3, jnp.float32),
                    jax.ShapeDtypeStruct(out_shape3, jnp.float32)),
         interpret=_interpret(),
