@@ -72,11 +72,6 @@ def _tables(n: int, r1: int, inverse: bool):
     return {k: v.astype(np.float32) for k, v in out.items()}
 
 
-def _cdot(ar, ai, br, bi, dot):
-    """Complex product via 4 real contractions (a @ b)."""
-    return (dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br))
-
-
 def _pick_2stage(n: int, radices=None) -> tuple[int, int] | None:
     """Choose (r1, r2) with both <= MAX_RADIX, or None if not expressible."""
     if radices is not None:

@@ -32,9 +32,6 @@ import numpy as np
 
 from . import dft
 
-# Stage results below this length are transformed with a single dense matmul.
-_DIRECT_MAX = dft.MAX_RADIX
-
 # MXU precision for the DFT matmuls. TPU f32 matmuls default to a single
 # bfloat16 pass (~3 decimal digits) — catastrophic for FFT accuracy (measured
 # 5e-3 rel err at 128^3 on v5e). HIGHEST requests full fp32-equivalent
