@@ -61,3 +61,21 @@ def test_tuner_resume(tmp_path):
     assert measured_points.isdisjoint(resumed_points)
     dup = [t for t in t2.trials if t.status == "duplicate"]
     assert len(dup) >= 20  # the first 20 candidates replayed from the DB
+
+
+def test_view_summarize(tmp_path):
+    from offt_tpu.obs.view import main, summarize
+
+    p = tmp_path / "t.jsonl"
+    with EventLog(str(p)) as log:
+        log.emit("trial", point=[0, 1], perf=0.002, status="ok")
+        log.emit("trial", point=[1, 1], perf=0.001, status="ok")
+        log.emit("trial", point=[0, 1], perf=0.002, status="duplicate")
+        log.emit("trial", point=[9, 9], status="infeasible", reason="x")
+        log.emit("trial_error", point=[2, 2], error="boom")
+        log.emit("tune_done", best_perf=0.001, default_perf=0.002)
+    s = summarize(str(p))
+    assert s["trials"] == 4 and s["ok"] == 2 and s["errors"] == 1
+    assert s["best"][0]["point"] == [1, 1]
+    assert main([str(p)]) == 0
+    assert main([str(p), "--json"]) == 0
