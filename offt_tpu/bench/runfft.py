@@ -52,6 +52,8 @@ def _parse_args(argv=None):
     p.add_argument("--radix-x", default=None)
     p.add_argument("--verify", action="store_true",
                    help="check output vs numpy (golden input)")
+    p.add_argument("--breakdown", action="store_true",
+                   help="per-stage timing table (offt_print_time parity)")
     return p.parse_args(argv)
 
 
@@ -152,6 +154,11 @@ def main(argv=None):
         t = _bench_chained(fn, args, ns.reps)
         if ns.verify:
             _verify(p, shape, ns)
+        if ns.breakdown and mesh is None and not ns.r2c and not ns.batch:
+            from offt_tpu.obs.profile import fft3d_breakdown
+            bd = fft3d_breakdown(shape, params=params)
+            for k, v in bd.items():
+                print(f"# {k}: {v * 1e3:.3f} ms", file=sys.stderr)
     else:  # xla
         import jax.numpy as jnp
 
