@@ -346,7 +346,7 @@ def tune(
                             use_cache=False, planar=True)
             return pl._fn.lower(*avals).compile()
 
-        def measure_fn(compiled) -> float:
+        def _measure(compiled, k_large: int, tries: int) -> float:
             # AOT executables pin input shardings, so outputs (transposed
             # layout) cannot be fed back; re-issuing the same inputs is
             # fine — the device queue serializes executions
@@ -362,9 +362,23 @@ def tune(
                 return time.perf_counter() - t0
 
             chain(1)
-            t_s = min(chain(1) for _ in range(3))
-            t_l = min(chain(9) for _ in range(3))
-            return max((t_l - t_s) / 8, 1e-9)
+            t_s = min(chain(1) for _ in range(tries))
+            t_l = min(chain(k_large) for _ in range(tries))
+            return max((t_l - t_s) / (k_large - 1), 1e-9)
+
+        # FAST_TUNING analogue (offt-compute.c:3538-3548 extrapolation
+        # window): coarse timing during the search, precise re-measurement
+        # of the top candidates afterwards (see refinement below)
+        handle_by_params: dict = {}
+        _orig_compile = compile_fn
+
+        def compile_fn(params: PlanParams):
+            h = _orig_compile(params)
+            handle_by_params[params] = h
+            return h
+
+        def measure_fn(compiled) -> float:
+            return _measure(compiled, k_large=5, tries=2)
 
     # seed the search with the hybrid-random initial simplex (default
     # heuristic point first, forced P1 coverage, biased random rest —
@@ -384,6 +398,23 @@ def tune(
             log.emit("resume", memoized=resumed)
     t0 = time.time()
     best_params, best_perf = tuner.run()
+
+    # refinement pass: the search ranked candidates with a coarse timer;
+    # re-measure the top few precisely before declaring a winner
+    if user_timer is None and tuner.db:
+        ranked = sorted(tuner.db.items(), key=lambda kv: kv[1])[:3]
+        for pt, coarse in ranked:
+            pp = space.to_params(pt)
+            h = handle_by_params.get(pp)
+            if h is None:
+                continue
+            precise = _measure(h, k_large=17, tries=3)
+            tuner.db[pt] = precise
+            log.emit("refine", point=list(pt), coarse=coarse, perf=precise)
+        best_pt, best_perf = min(
+            ((pt, tuner.db[pt]) for pt, _ in ranked), key=lambda kv: kv[1])
+        best_params = space.to_params(best_pt)
+
     default_perf = tuner.db.get(dflt_point)
     if default_perf is None:
         try:
