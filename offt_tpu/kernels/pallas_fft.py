@@ -368,6 +368,22 @@ def fft3d_planar(xr, xi, inverse: bool = False,
             xr, xi = fft_1d_planar(xr, xi, ay, radices=rad_y, **kw)
         xr, xi = fft_1d_planar(xr, xi, ax, radices=rad_x, **kw)
         return xr, xi
+    nx_ = xr.shape[ax]
+    row_stride = ny * nz * 4
+    use_padded_x = (fuse
+                    and can_use_padded_x(nx_, ny, nz, rad_x)
+                    and row_stride >= (1 << 16)
+                    and (row_stride & (row_stride - 1)) == 0)
+    if use_padded_x:
+        # mirror of the forward stride-broken path: the x kernel writes a
+        # Z-padded intermediate (conflict-free stores), the inverse slab
+        # reads it pitched
+        xr, xi = fft_x_to_padded(xr, xi, zpad=_STRIDE_PAD, inverse=True,
+                                 radices=rad_x, precision=precision)
+        xr, xi = fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
+                             rad_z=rad_z, precision=precision, z_true=nz)
+        scale = 1.0 / (nx_ * ny * nz)
+        return xr * scale, xi * scale
     xr, xi = fft_1d_planar(xr, xi, ax, inverse=True, radices=rad_x, **kw)
     if fuse:
         xr, xi = fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
@@ -430,23 +446,27 @@ def can_fuse_slab(ny: int, nz: int, rad_y=None, rad_z=None) -> bool:
 
 def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
                 rad_y=None, rad_z=None,
-                precision: str = DEFAULT_PRECISION, zpad: int = 0):
+                precision: str = DEFAULT_PRECISION, zpad: int = 0,
+                z_true: int = 0):
     """FFT along the last TWO axes of planar (..., Y, Z) float32 arrays in a
     single fused kernel (one HBM read + one write for both axes).
 
     ``zpad`` appends unwritten pad lanes per (x, y) row of the OUTPUT
     (stride-breaking layout for the downstream x-axis kernel); the result
-    then has trailing shape (Y, Z + zpad)."""
+    then has trailing shape (Y, Z + zpad). ``z_true`` declares that the
+    INPUT's z axis carries trailing pad lanes to skip (pitched reads)."""
     ny, nz = xr.shape[-2], xr.shape[-1]
+    if z_true:
+        nz = z_true
     ry = _pick_2stage(ny, rad_y)
     rz = _pick_2stage(nz, rad_z)
     if ry is None or rz is None or ny * nz > _SLAB_VMEM_LIMIT:
         raise ValueError(f"slab ({ny},{nz}) not fusable")
     lead = xr.shape[:-2]
     p = int(np.prod(lead)) if lead else 1
-    shape3 = (p, ny, nz)
-    xr3 = xr.reshape(shape3)
-    xi3 = xi.reshape(shape3)
+    in_shape3 = (p, ny, xr.shape[-1])
+    xr3 = xr.reshape(in_shape3)
+    xi3 = xi.reshape(in_shape3)
     tz = _tables(nz, rz[0], inverse)
     ty = _tables(ny, ry[0], inverse)
     consts = [jnp.asarray(v) for v in
@@ -457,6 +477,8 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     tb = max(1, min(8, (1 << 17) // max(ny * nz, 1)))
     while p % tb != 0:
         tb -= 1
+    # in/out blocks carry only the true z lanes; any trailing pad lanes in
+    # the in/out ARRAYS are skipped by partial coverage (pitched DMA)
     in_blk = pl.BlockSpec((tb, ny, nz), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     out_blk = pl.BlockSpec((tb, ny, nz), lambda i: (i, 0, 0),
@@ -546,4 +568,41 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
         interpret=_interpret(),
     )(xr4, xi4, *consts)
     out_shape = lead + (n, ny, z_true)
+    return yr.reshape(out_shape), yi.reshape(out_shape)
+
+
+def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
+                    radices=None, precision: str = DEFAULT_PRECISION):
+    """x-axis FFT reading an unpadded (..., X, Y, Z) array and writing a
+    Z-padded (..., X, Y, Z+zpad) intermediate (stride-breaking layout for a
+    downstream pitched-read consumer, e.g. the inverse slab). Unscaled."""
+    lead = xr3.shape[:-3]
+    b = int(np.prod(lead)) if lead else 1
+    n, ny, nz = xr3.shape[-3:]
+    xr4 = xr3.reshape(b, n, ny, nz)
+    xi4 = xi3.reshape(b, n, ny, nz)
+    pick = _pick_2stage(n, radices)
+    if pick is None:
+        raise ValueError(f"N={n} not 2-stage expressible")
+    r1, r2 = pick
+    ty, tz = 8, 128
+    t = _tables(n, r1, inverse)
+    consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
+    kernel = functools.partial(_x_strided_kernel, r1=r1, r2=r2,
+                               precision=precision)
+    blk = pl.BlockSpec((1, n, ty, tz), lambda i, j, k: (i, 0, j, k),
+                       memory_space=pltpu.VMEM)
+    const_spec = [pl.BlockSpec(c.shape, lambda i, j, k, c=c: (0,) * c.ndim,
+                               memory_space=pltpu.VMEM) for c in consts]
+    out_shape4 = (b, n, ny, nz + zpad)
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(b, ny // ty, nz // tz),
+        in_specs=[blk, blk] + const_spec,
+        out_specs=(blk, blk),
+        out_shape=(jax.ShapeDtypeStruct(out_shape4, jnp.float32),
+                   jax.ShapeDtypeStruct(out_shape4, jnp.float32)),
+        interpret=_interpret(),
+    )(xr4, xi4, *consts)
+    out_shape = lead + (n, ny, nz + zpad)
     return yr.reshape(out_shape), yi.reshape(out_shape)
