@@ -58,12 +58,16 @@ def _fold_complex(f: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _tables(n: int, r1: int, inverse: bool):
-    """Folded f32 DFT matrices + twiddles for n = r1 * r2."""
+def _tables(n: int, r1: int, inverse: bool, scale: float = 1.0):
+    """Folded f32 DFT matrices + twiddles for n = r1 * r2.
+
+    ``scale`` is folded into the twiddle table (applied exactly once per
+    element between the stages) so inverse 1/N normalization costs zero
+    extra HBM passes."""
     r2 = n // r1
     f1 = dft.dft_matrix(r1, np.complex128, inverse)
     f2 = dft.dft_matrix(r2, np.complex128, inverse)
-    tw = dft.twiddles(r1, r2, np.complex128, inverse)  # (r1, r2)
+    tw = dft.twiddles(r1, r2, np.complex128, inverse) * scale  # (r1, r2)
     out = {
         "g1": _fold_complex(f1),                   # (2r1, 2r1)
         "g2": _fold_complex(f2),                   # (2r2, 2r2)
@@ -195,7 +199,7 @@ def _last_kernel(xr_ref, xi_ref, g1, g2, twr, twi, or_ref, oi_ref,
 
 def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
              radices=None, block_rows: int = 0,
-             precision: str = DEFAULT_PRECISION):
+             precision: str = DEFAULT_PRECISION, scale: float = 1.0):
     """Batched FFT along the last axis of planar (..., N) float32 arrays.
 
     Returns (yr, yi). No 1/N scaling on inverse (caller handles, matching
@@ -218,7 +222,7 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     if bp != b:
         xr2 = jnp.pad(xr2, ((0, bp - b), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, bp - b), (0, 0)))
-    t = _tables(n, r1, inverse)
+    t = _tables(n, r1, inverse, scale)
     consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
     kernel = functools.partial(_last_kernel, r1=r1, r2=r2, precision=precision)
     grid = (bp // tb,)
@@ -258,7 +262,7 @@ def _sublane_kernel(xr_ref, xi_ref, g1, g2, twr, twi,
 
 def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
                 inverse: bool = False, radices=None, block_lanes: int = 0,
-                precision: str = DEFAULT_PRECISION):
+                precision: str = DEFAULT_PRECISION, scale: float = 1.0):
     """Batched FFT along any non-last axis of planar float32 arrays.
 
     The array is viewed as (prefix, N, lanes) with lanes = product of the
@@ -288,7 +292,7 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
         while tl > 1 and lanes % tl != 0:
             tl //= 2
         tl = max(tl, 1)
-    t = _tables(n, r1, inverse)
+    t = _tables(n, r1, inverse, scale)
     consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
     kernel = functools.partial(_sublane_kernel, r1=r1, r2=r2,
                                precision=precision)
@@ -321,18 +325,20 @@ def can_use_pallas(n: int, radices=None) -> bool:
 def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
                   radices=None, scale: bool = True,
                   precision: str = DEFAULT_PRECISION, block: int = 0):
-    """Planar 1-D FFT along ``axis`` (numpy fft/ifft semantics)."""
+    """Planar 1-D FFT along ``axis`` (numpy fft/ifft semantics).
+
+    The inverse 1/N normalization is folded into the kernel's twiddle
+    tables — zero extra HBM passes."""
     axis = axis % xr.ndim
     n = xr.shape[axis]
+    knob = (1.0 / n) if (inverse and scale) else 1.0
     if axis == xr.ndim - 1:
         yr, yi = fft_last(xr, xi, inverse=inverse, radices=radices,
-                          precision=precision, block_rows=block)
+                          precision=precision, block_rows=block, scale=knob)
     else:
         yr, yi = fft_sublane(xr, xi, axis, inverse=inverse, radices=radices,
-                             precision=precision, block_lanes=block)
-    if inverse and scale:
-        yr = yr / n
-        yi = yi / n
+                             precision=precision, block_lanes=block,
+                             scale=knob)
     return yr, yi
 
 
@@ -377,19 +383,18 @@ def fft3d_planar(xr, xi, inverse: bool = False,
     if use_padded_x:
         # mirror of the forward stride-broken path: the x kernel writes a
         # Z-padded intermediate (conflict-free stores), the inverse slab
-        # reads it pitched
+        # reads it pitched; the full 1/N normalization rides the slab's
+        # twiddle tables
         xr, xi = fft_x_to_padded(xr, xi, zpad=_STRIDE_PAD, inverse=True,
                                  radices=rad_x, precision=precision)
-        xr, xi = fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
-                             rad_z=rad_z, precision=precision, z_true=nz)
-        scale = 1.0 / (nx_ * ny * nz)
-        return xr * scale, xi * scale
+        return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
+                           rad_z=rad_z, precision=precision, z_true=nz,
+                           scale=1.0 / (nx_ * ny * nz))
     xr, xi = fft_1d_planar(xr, xi, ax, inverse=True, radices=rad_x, **kw)
     if fuse:
-        xr, xi = fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
-                             rad_z=rad_z, precision=precision)
-        scale = 1.0 / (ny * nz)
-        return xr * scale, xi * scale
+        return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
+                           rad_z=rad_z, precision=precision,
+                           scale=1.0 / (ny * nz))
     xr, xi = fft_1d_planar(xr, xi, ay, inverse=True, radices=rad_y, **kw)
     xr, xi = fft_1d_planar(xr, xi, az, inverse=True, radices=rad_z, **kw)
     return xr, xi
@@ -447,7 +452,7 @@ def can_fuse_slab(ny: int, nz: int, rad_y=None, rad_z=None) -> bool:
 def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
                 rad_y=None, rad_z=None,
                 precision: str = DEFAULT_PRECISION, zpad: int = 0,
-                z_true: int = 0):
+                z_true: int = 0, scale: float = 1.0):
     """FFT along the last TWO axes of planar (..., Y, Z) float32 arrays in a
     single fused kernel (one HBM read + one write for both axes).
 
@@ -468,7 +473,7 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     xr3 = xr.reshape(in_shape3)
     xi3 = xi.reshape(in_shape3)
     tz = _tables(nz, rz[0], inverse)
-    ty = _tables(ny, ry[0], inverse)
+    ty = _tables(ny, ry[0], inverse, scale)   # scale rides the y twiddles
     consts = [jnp.asarray(v) for v in
               (tz["g1"], tz["g2"], tz["twr"], tz["twi"],
                ty["g1"], ty["g2"], ty["twr"], ty["twi"])]
@@ -535,7 +540,8 @@ def can_use_padded_x(n: int, ny: int, nz: int, radices=None) -> bool:
 
 
 def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
-                      radices=None, precision: str = DEFAULT_PRECISION):
+                      radices=None, precision: str = DEFAULT_PRECISION,
+                      scale: float = 1.0):
     """x-axis FFT over a (..., X, Y, Z+pad) padded intermediate; writes the
     unpadded (..., X, Y, Z) result. Input blocks are pitched (X, 8, 128)
     reads that skip the pad lanes entirely; leading dims become grid dims."""
@@ -549,7 +555,7 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
         raise ValueError(f"N={n} not 2-stage expressible")
     r1, r2 = pick
     ty, tz = 8, 128
-    t = _tables(n, r1, inverse)
+    t = _tables(n, r1, inverse, scale)
     consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
     kernel = functools.partial(_x_strided_kernel, r1=r1, r2=r2,
                                precision=precision)
@@ -572,7 +578,8 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
 
 
 def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
-                    radices=None, precision: str = DEFAULT_PRECISION):
+                    radices=None, precision: str = DEFAULT_PRECISION,
+                    scale: float = 1.0):
     """x-axis FFT reading an unpadded (..., X, Y, Z) array and writing a
     Z-padded (..., X, Y, Z+zpad) intermediate (stride-breaking layout for a
     downstream pitched-read consumer, e.g. the inverse slab). Unscaled."""
@@ -586,7 +593,7 @@ def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
         raise ValueError(f"N={n} not 2-stage expressible")
     r1, r2 = pick
     ty, tz = 8, 128
-    t = _tables(n, r1, inverse)
+    t = _tables(n, r1, inverse, scale)
     consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
     kernel = functools.partial(_x_strided_kernel, r1=r1, r2=r2,
                                precision=precision)
