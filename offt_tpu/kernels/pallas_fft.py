@@ -613,3 +613,103 @@ def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
     )(xr4, xi4, *consts)
     out_shape = lead + (n, ny, nz + zpad)
     return yr.reshape(out_shape), yi.reshape(out_shape)
+
+
+# --------------------------------------------------------------------------
+# fused r2c last-axis kernel: packed half-length transform + untangle in
+# one pass. The reference reaches r2c through FFTW's r2c plans
+# (offt-compute.c setup_p1d is_r2c); our unfused path (kernels/rfft.py)
+# costs several XLA passes for the pack/untangle — here the untangle runs
+# on the sublane form inside the kernel (reversal = sublane flip+roll).
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _rfft_tables(n: int, dtype_name: str = "float32"):
+    """Planar W^k = exp(-2i pi k / N) columns for k = 0..M-1 (M = N/2)."""
+    m = n // 2
+    k = np.arange(m, dtype=np.float64)
+    ang = 2.0 * np.pi * k / n
+    wr = np.cos(ang).reshape(m, 1)
+    wi = (-np.sin(ang)).reshape(m, 1)
+    dt = np.dtype(dtype_name)
+    return wr.astype(dt), wi.astype(dt)
+
+
+def _rfft_last_kernel(vr_ref, vi_ref, g1, g2, twr, twi, wr, wi,
+                      or_ref, oi_ref, *, r1: int, r2: int, precision: str):
+    m = vr_ref.shape[1]
+    # half-length c2c with the packed rows on sublanes
+    vfr, vfi = _sublane_core(vr_ref[:].T, vi_ref[:].T,
+                             g1[:], g2[:], twr[:], twi[:],
+                             r1, r2, precision)            # (M, TB)
+    # V[(M - k) mod M]: flip then roll by one along sublanes
+    vrr = pltpu.roll(jnp.flip(vfr, axis=0), 1, axis=0)
+    vri = pltpu.roll(jnp.flip(vfi, axis=0), 1, axis=0)
+    xer = 0.5 * (vfr + vrr)
+    xei = 0.5 * (vfi - vri)
+    xor_ = 0.5 * (vfi + vri)
+    xoi = -0.5 * (vfr - vrr)
+    # X[k] = Xe[k] + W^k * Xo[k], k = 0..M-1
+    xr = xer + wr[:] * xor_ - wi[:] * xoi
+    xi = xei + wr[:] * xoi + wi[:] * xor_
+    # X[M] = Xe[0] - Xo[0] (purely real)
+    last_r = (xer[:1] - xor_[:1])
+    last_i = jnp.zeros_like(last_r)
+    out_r = jnp.concatenate([xr, last_r], axis=0)          # (M+1, TB)
+    out_i = jnp.concatenate([xi, last_i], axis=0)
+    or_ref[:] = out_r.T
+    oi_ref[:] = out_i.T
+
+
+def can_use_rfft_last(n: int, radices=None) -> bool:
+    return n % 2 == 0 and n >= 4 and _pick_2stage(n // 2, radices) is not None
+
+
+def rfft_last_planar(x: jax.Array, radices=None,
+                     precision: str = DEFAULT_PRECISION, block_rows: int = 0):
+    """Fused r2c along the last axis: real (..., N) -> planar (..., N//2+1).
+
+    The even/odd packing happens outside (one strided-slice pass); the
+    half-length transform and the untangle are one kernel pass.
+    """
+    n = x.shape[-1]
+    m = n // 2
+    pick = _pick_2stage(m, radices)
+    if pick is None or n % 2 != 0:
+        raise ValueError(f"N={n} not expressible for the fused r2c kernel")
+    r1, r2 = pick
+    lead = x.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(b, n).astype(jnp.float32)
+    vr = x2[:, 0::2]
+    vi = x2[:, 1::2]
+    tb = block_rows or max(128, min(512, (1 << 21) // max(m, 1) & ~127))
+    tb = min(tb, -(-b // 128) * 128)
+    bp = -(-b // tb) * tb
+    if bp != b:
+        vr = jnp.pad(vr, ((0, bp - b), (0, 0)))
+        vi = jnp.pad(vi, ((0, bp - b), (0, 0)))
+    t = _tables(m, r1, inverse=False)
+    wr, wi = _rfft_tables(n)
+    consts = [jnp.asarray(v) for v in
+              (t["g1"], t["g2"], t["twr"], t["twi"], wr, wi)]
+    kernel = functools.partial(_rfft_last_kernel, r1=r1, r2=r2,
+                               precision=precision)
+    in_spec = pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tb, m + 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_spec = [pl.BlockSpec(c.shape, lambda i, c=c: (0,) * c.ndim,
+                               memory_space=pltpu.VMEM) for c in consts]
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(bp // tb,),
+        in_specs=[in_spec, in_spec] + const_spec,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((bp, m + 1), jnp.float32),
+                   jax.ShapeDtypeStruct((bp, m + 1), jnp.float32)),
+        interpret=_interpret(),
+    )(vr, vi, *consts)
+    if bp != b:
+        yr = yr[:b]
+        yi = yi[:b]
+    return yr.reshape(*lead, m + 1), yi.reshape(*lead, m + 1)

@@ -69,6 +69,23 @@ def _planarize(fn, in_planar: bool, out_planar: bool):
     return wrapped
 
 
+def _rfft_z(x, params: PlanParams, nz: int):
+    """Forward r2c along the last axis: fused Pallas kernel (packed
+    half-length + in-kernel untangle) when expressible, else the generic
+    packed path."""
+    import jax.numpy as _jnp
+
+    from ..kernels import pallas_fft as pf
+
+    if (params.use_pallas and x.dtype == _jnp.float32
+            and pf.can_use_rfft_last(nz, params.radix_z)):
+        yr, yi = pf.rfft_last_planar(x, radices=params.radix_z,
+                                     precision=params.precision)
+        return jax.lax.complex(yr, yi)
+    return rfft_1d(x, axis=-1, radices=params.radix_z,
+                   fft_fn=_real_fft_fn(params))
+
+
 def _real_fft_fn(params: PlanParams):
     """Inner-c2c dispatch for the packed r2c/c2r transforms (fused Pallas
     kernel when enabled). radix_z applies to the half-length transform;
@@ -97,8 +114,7 @@ def _local_fft3d(x, inverse: bool, real: bool, nz: int, params: PlanParams):
     ax, ay, az = x.ndim - 3, x.ndim - 2, x.ndim - 1
     if not inverse:
         if real:
-            x = rfft_1d(x, axis=az, radices=params.radix_z,
-                        fft_fn=_real_fft_fn(params))
+            x = _rfft_z(x, params, x.shape[az])
         else:
             x = axis_fft(x, az, False, params.radix_z, params)
         x = axis_fft(x, ay, False, params.radix_y, params)
@@ -222,8 +238,7 @@ def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int):
     last_fn = None
     if spec.real and not spec.inverse:
         def first_fn(c):
-            return rfft_1d(c, axis=az, radices=params.radix_z,
-                           fft_fn=_real_fft_fn(params))
+            return _rfft_z(c, params, nz)
     if spec.real and spec.inverse:
         def last_fn(c):
             c = _slice_axis(c, az, nzf)
