@@ -638,17 +638,20 @@ def _rfft_tables(n: int, dtype_name: str = "float32"):
 def _rfft_last_kernel(vr_ref, vi_ref, g1, g2, twr, twi, wr, wi,
                       or_ref, oi_ref, *, r1: int, r2: int, precision: str):
     m = vr_ref.shape[1]
+    vrt = vr_ref[:].T
+    vit = vi_ref[:].T
     # half-length c2c with the packed rows on sublanes
-    vfr, vfi = _sublane_core(vr_ref[:].T, vi_ref[:].T,
-                             g1[:], g2[:], twr[:], twi[:],
+    vfr, vfi = _sublane_core(vrt, vit, g1[:], g2[:], twr[:], twi[:],
                              r1, r2, precision)            # (M, TB)
-    # V[(M - k) mod M]: flip then roll by one along sublanes
-    vrr = pltpu.roll(jnp.flip(vfr, axis=0), 1, axis=0)
-    vri = pltpu.roll(jnp.flip(vfi, axis=0), 1, axis=0)
-    xer = 0.5 * (vfr + vrr)
-    xei = 0.5 * (vfi - vri)
-    xor_ = 0.5 * (vfi + vri)
-    xoi = -0.5 * (vfr - vrr)
+    # Mosaic has no reversal primitive; use conj(V[(M-k) mod M]) =
+    # DFT(conj(v))[k] — a second half-length transform (compute-light at
+    # these radices, and it shares the loaded inputs)
+    urr, uri = _sublane_core(vrt, -vit, g1[:], g2[:], twr[:], twi[:],
+                             r1, r2, precision)            # = conj(V[M-k])
+    xer = 0.5 * (vfr + urr)
+    xei = 0.5 * (vfi + uri)
+    xor_ = 0.5 * (vfi - uri)
+    xoi = -0.5 * (vfr - urr)
     # X[k] = Xe[k] + W^k * Xo[k], k = 0..M-1
     xr = xer + wr[:] * xor_ - wi[:] * xoi
     xi = xei + wr[:] * xoi + wi[:] * xor_
