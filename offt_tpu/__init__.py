@@ -16,8 +16,10 @@ __version__ = "0.1.0"
 from .kernels import fft_1d
 from .plan.api import (
     Plan,
+    fft2d,
     fft3d,
     from_planar,
+    ifft2d,
     ifft3d,
     irfft3d,
     plan,
@@ -27,6 +29,8 @@ from .plan.api import (
 
 __all__ = [
     "Plan",
+    "fft2d",
+    "ifft2d",
     "fft3d",
     "from_planar",
     "ifft3d",

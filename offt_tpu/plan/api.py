@@ -438,3 +438,22 @@ def irfft3d(x, nz: Optional[int] = None, mesh=None, params=None, **kw):
     p = plan(shape, x.dtype, mesh=mesh, params=params, real=True,
              inverse=True, batch_dims=nd - 3, **kw)
     return p(x)
+
+
+# ---- 2-D conveniences (beyond the reference: same kernels, one axis fewer)
+
+def fft2d(x, params=None, **kw):
+    """2-D c2c FFT over the last two axes (single device; the fused slab
+    kernel when expressible)."""
+    nd = x.ndim
+    shape3 = (1,) + tuple(x.shape[nd - 2:])
+    p = plan(shape3, x.dtype, params=params, batch_dims=nd - 2, **kw)
+    return p(x.reshape(x.shape[:nd - 2] + shape3)).reshape(x.shape)
+
+
+def ifft2d(x, params=None, **kw):
+    nd = x.ndim
+    shape3 = (1,) + tuple(x.shape[nd - 2:])
+    p = plan(shape3, x.dtype, params=params, inverse=True,
+             batch_dims=nd - 2, **kw)
+    return p(x.reshape(x.shape[:nd - 2] + shape3)).reshape(x.shape)

@@ -98,3 +98,15 @@ def test_norm_conventions(norm):
 def test_norm_invalid():
     with pytest.raises(ValueError):
         offt_tpu.plan((8, 8, 8), "complex64", norm="bogus")
+
+
+def test_fft2d():
+    x = rand_c((4, 32, 64), np.complex128, seed=33)
+    got = np.asarray(offt_tpu.fft2d(x))
+    want = np.fft.fft2(x, axes=(-2, -1))
+    assert rel_err(got, want) < 1e-12
+    rt = np.asarray(offt_tpu.ifft2d(got))
+    assert rel_err(rt, x) < 1e-12
+    # plain 2-D array too
+    y = rand_c((16, 16), np.complex128, seed=34)
+    assert rel_err(offt_tpu.fft2d(y), np.fft.fft2(y)) < 1e-12
