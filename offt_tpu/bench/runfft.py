@@ -105,7 +105,6 @@ def main(argv=None):
     import jax
 
     import offt_tpu
-    from offt_tpu.plan.params import PlanParams
 
     mesh = None
     if ns.mesh or ns.p1 or ns.p2:

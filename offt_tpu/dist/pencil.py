@@ -31,7 +31,6 @@ trivial, the analogue of METHOD ONE / METHOD OLD, offt-compute.c:3896-3998).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import importlib
 import json
-import shlex
 import subprocess
 import sys
 import time

@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..plan.params import ProblemSpec, default_params
+from ..plan.params import default_params
 from .space import Point, SearchSpace
 
 
