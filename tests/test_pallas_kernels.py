@@ -85,3 +85,32 @@ def test_pallas_fallback_fp64():
     x = rand_c64((8, 8, 8), seed=8).astype(np.complex128)
     got = offt_tpu.fft3d(x, params=PlanParams(use_pallas=1))
     assert rel_err(got, np.fft.fftn(x)) < 1e-12
+
+
+def test_fused_rfft_kernel():
+    for n in [16, 64, 256]:
+        x = np.random.default_rng(n).standard_normal((10, n)).astype(np.float32)
+        yr, yi = pf.rfft_last_planar(x)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        want = np.fft.rfft(x, axis=-1)
+        assert rel_err(got, want) < 1e-5, n
+    assert pf.can_use_rfft_last(256)
+    assert not pf.can_use_rfft_last(7)       # odd
+    with pytest.raises(ValueError):
+        pf.rfft_last_planar(np.zeros((4, 7), np.float32))
+
+
+def test_scale_folded_inverse():
+    x = rand_c64((16, 16, 16), seed=77)
+    yr, yi = pf.fft3d_planar(x.real.copy(), x.imag.copy(), inverse=True)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert rel_err(got, np.fft.ifftn(x)) < 1e-5
+
+
+def test_padded_x_roundtrip():
+    # shapes that trigger the stride-broken fwd AND inv paths
+    x = rand_c64((16, 128, 128), seed=78)
+    fr, fi = pf.fft3d_planar(x.real.copy(), x.imag.copy())
+    br, bi = pf.fft3d_planar(np.asarray(fr), np.asarray(fi), inverse=True)
+    rt = np.asarray(br) + 1j * np.asarray(bi)
+    assert rel_err(rt, x) < 1e-5
