@@ -21,6 +21,9 @@ from .params import PlanParams
 
 def cache_dir() -> pathlib.Path:
     d = os.environ.get("OFFT_TPU_CACHE_DIR")
+    if not d:
+        from ..utils import config as _cfg
+        d = _cfg.get("cache_dir")
     if d:
         return pathlib.Path(d)
     return pathlib.Path(os.path.expanduser("~/.cache/offt_tpu"))

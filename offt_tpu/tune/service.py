@@ -248,9 +248,11 @@ class TuningServer:
 
 
 def main(argv=None):
+    from ..utils import config as _cfg
+
     p = argparse.ArgumentParser(prog="offt-tune-server")
-    p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--port", type=int, default=DEFAULT_PORT)
+    p.add_argument("--host", default=_cfg.get("server_host"))
+    p.add_argument("--port", type=int, default=int(_cfg.get("server_port")))
     ns = p.parse_args(argv)
     srv = TuningServer(ns.host, ns.port)
     print(f"offt-tpu tuning server on {srv.host}:{srv.port} "

@@ -281,8 +281,8 @@ def tune(
     *,
     mesh=None,
     real: bool = False,
-    strategy: str = "nm",
-    max_trials: int = 30,
+    strategy: str = None,
+    max_trials: int = None,
     timer: Optional[Callable[[Plan], float]] = None,
     seed: int = 0,
     log_path: Optional[str] = None,
@@ -293,6 +293,12 @@ def tune(
     PlanParams and writes them to the persistent plan cache."""
     import jax
     import jax.numpy as jnp
+
+    from ..utils import config as _cfg
+
+    # layered config (defaults < file < env < kwargs), hcfg.c analogue
+    strategy = _cfg.get("strategy", strategy=strategy)
+    max_trials = int(_cfg.get("max_trials", max_trials=max_trials))
 
     p = 1 if mesh is None else mesh.devices.size
     fixed_p1 = None
