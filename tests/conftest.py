@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import tempfile
+
+os.environ.setdefault("OFFT_TPU_CACHE_DIR",
+                      tempfile.mkdtemp(prefix="offt_test_cache_"))
+
 import jax  # noqa: E402
 
 if not os.environ.get("OFFT_TPU_TEST_REAL"):

@@ -11,11 +11,13 @@ import pytest
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
-def run_cli(args, timeout=110):
+def run_cli(args, timeout=110, tmp=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("OFFT_TPU_TEST_REAL", None)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    import tempfile
+    env["OFFT_TPU_CACHE_DIR"] = tmp or tempfile.mkdtemp(prefix="offt_cli_")
     # conftest's jax.config trick is unavailable in a fresh process; the
     # axon plugin yields to JAX_PLATFORMS only when axon is absent — use a
     # sitecustomize-free hack: run through python -c with config update
@@ -65,3 +67,13 @@ def test_offt_tune_pyfn():
     assert out.returncode == 0, out.stderr[-500:]
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["perf"] <= 9  # near the (20, 33) optimum
+
+
+def test_runfft_tune_smoke():
+    """offt-bench --tune end-to-end on the virtual mesh (tiny budget)."""
+    out = run_cli(["bench", "-N", "16", "-a", "offt", "--p1", "2", "--p2",
+                   "4", "--tune", "-l", "4", "-r", "1"], timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "tuned: best=" in out.stderr
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["t_ms"] > 0
