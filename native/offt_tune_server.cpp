@@ -117,6 +117,40 @@ std::vector<int> json_dims_sizes(const std::string& s) {
   return sizes;
 }
 
+std::string html_escape(const std::string& s) {
+  std::string out;
+  out.reserve(s.size());
+  for (char c : s) {
+    switch (c) {
+      case '&': out += "&amp;"; break;
+      case '<': out += "&lt;"; break;
+      case '>': out += "&gt;"; break;
+      case '"': out += "&quot;"; break;
+      case '\'': out += "&#39;"; break;
+      default: out += c;
+    }
+  }
+  return out;
+}
+
+std::string json_escape(const std::string& s) {
+  std::string out;
+  out.reserve(s.size());
+  for (char c : s) {
+    if (c == '"' || c == '\\') {
+      out += '\\';
+      out += c;
+    } else if ((unsigned char)c < 0x20) {
+      char buf[8];
+      snprintf(buf, sizeof(buf), "\\u%04x", c);
+      out += buf;
+    } else {
+      out += c;
+    }
+  }
+  return out;
+}
+
 std::string int_array_json(const std::vector<int>& v) {
   std::string out = "[";
   for (size_t i = 0; i < v.size(); ++i) {
@@ -137,6 +171,7 @@ struct Session {
   std::mutex mu;
   int ndims = 0;
   long trials = 0;
+  bool left = false;  // client detached; retained for the UI, evictable
   double best_perf = std::numeric_limits<double>::infinity();
   std::vector<std::pair<double, double>> history;  // (t, perf) for the UI
 };
@@ -189,12 +224,15 @@ class Server {
   }
 
   // ---- JSON-lines tuning protocol (one request per line) -------------
+  static constexpr size_t kMaxLine = 1 << 20;  // 1 MiB pending-line cap
+
   void handle_client(int cfd) {
     std::string buf;
     char chunk[4096];
     while (true) {
       auto nl = buf.find('\n');
       if (nl == std::string::npos) {
+        if (buf.size() > kMaxLine) return;  // misbehaving client: drop
         ssize_t n = recv(cfd, chunk, sizeof(chunk), 0);
         if (n <= 0) return;
         buf.append(chunk, n);
@@ -222,7 +260,7 @@ class Server {
       if (strat.empty()) strat = "nm";
       double seed = 0;
       json_get_number(msg, "seed", &seed);
-      auto sess = std::make_unique<Session>();
+      auto sess = std::make_shared<Session>();
       std::lock_guard<std::mutex> lk(mu_);
       sess->id = next_id_++;
       sess->name = json_get_string(msg, "name");
@@ -232,11 +270,23 @@ class Server {
                                               (unsigned)seed, 0, nullptr);
       int sid = sess->id;
       sessions_[sid] = std::move(sess);
+      // bound total retained sessions: evict oldest detached ones first
+      // (hserver keeps session logs for the UI, but not without limit)
+      if (sessions_.size() > 100) {
+        for (auto it = sessions_.begin();
+             it != sessions_.end() && sessions_.size() > 100;) {
+          if (it->second->left && it->first != sid)
+            it = sessions_.erase(it);
+          else
+            ++it;
+        }
+      }
       return "{\"status\": \"OK\", \"session\": " + std::to_string(sid) + "}";
     }
     double sid_d = 0;
     json_get_number(msg, "session", &sid_d);
-    Session* sess = find((int)sid_d);
+    // shared_ptr keeps the session alive across a concurrent eviction
+    std::shared_ptr<Session> sess = find((int)sid_d);
     if (!sess)
       return R"({"status": "FAIL", "error": "no such session"})";
     std::lock_guard<std::mutex> lk(sess->mu);
@@ -261,6 +311,10 @@ class Server {
           std::chrono::duration<double>(
               std::chrono::system_clock::now().time_since_epoch()).count(),
           perf);
+      // bound per-session history (only the UI reads it)
+      if (sess->history.size() > 10000)
+        sess->history.erase(sess->history.begin(),
+                            sess->history.begin() + 5000);
       return R"({"status": "OK"})";
     }
     if (op == "reject") {
@@ -282,14 +336,17 @@ class Server {
       return std::string("{\"status\": \"OK\", \"converged\": ") +
              (sess->engine->converged() ? "true" : "false") + "}";
     }
-    if (op == "leave") return R"({"status": "OK"})";
+    if (op == "leave") {
+      sess->left = true;  // retained for the UI, evictable under pressure
+      return R"({"status": "OK"})";
+    }
     return R"({"status": "FAIL", "error": "unknown op"})";
   }
 
-  Session* find(int sid) {
+  std::shared_ptr<Session> find(int sid) {
     std::lock_guard<std::mutex> lk(mu_);
     auto it = sessions_.find(sid);
-    return it == sessions_.end() ? nullptr : it->second.get();
+    return it == sessions_.end() ? nullptr : it->second;
   }
 
   // ---- HTTP monitor ---------------------------------------------------
@@ -315,7 +372,8 @@ class Server {
         if (!first) body += ", ";
         first = false;
         body += "{\"id\": " + std::to_string(sid) + ", \"name\": \"" +
-                s->name + "\", \"trials\": " + std::to_string(s->trials) +
+                json_escape(s->name) +
+                "\", \"trials\": " + std::to_string(s->trials) +
                 ", \"converged\": " +
                 (s->engine->converged() ? "true" : "false") + "}";
       }
@@ -328,7 +386,7 @@ class Server {
       std::lock_guard<std::mutex> lk(mu_);
       for (auto& [sid, s] : sessions_) {
         std::lock_guard<std::mutex> lk2(s->mu);
-        body += "<tr><td>" + s->name + "</td><td>" +
+        body += "<tr><td>" + html_escape(s->name) + "</td><td>" +
                 std::to_string(s->trials) + "</td><td>" +
                 std::to_string(s->best_perf) + "</td><td>" +
                 (s->engine->converged() ? "yes" : "no") + "</td></tr>";
@@ -345,7 +403,7 @@ class Server {
   int fd_;
   int port_;
   std::mutex mu_;
-  std::map<int, std::unique_ptr<Session>> sessions_;
+  std::map<int, std::shared_ptr<Session>> sessions_;
   int next_id_ = 1;
 };
 

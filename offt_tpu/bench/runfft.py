@@ -134,8 +134,9 @@ def main(argv=None):
               f"default={res.default_perf * 1e3:.3f} ms "
               f"speedup={res.speedup_vs_default:.2f}x", file=sys.stderr)
     if overrides:
-        base = params or offt_tpu.plan(shape, "complex64", mesh=mesh,
-                                       real=ns.r2c).params
+        base = params or offt_tpu.plan(shape[-3:], "complex64", mesh=mesh,
+                                       real=ns.r2c,
+                                       batch_dims=len(shape) - 3).params
         params = base.replace(**overrides)
 
     re = jax.device_put(rng.standard_normal(shape).astype(np.float32))

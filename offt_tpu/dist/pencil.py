@@ -91,9 +91,20 @@ def _ring_all_to_all(x, axis_name: str, split_axis: int, concat_axis: int, size:
 
 
 def _transpose(x, axis_name: str, split_axis: int, concat_axis: int,
-               size: int, strategy: int):
+               size: int, strategy: int, variant: int = 0):
+    """One pencil exchange. ``strategy`` picks fused all_to_all (0) vs the
+    ppermute ring (1); ``variant`` (the reference's per-phase V bit,
+    offt.h:96 — alltoallv vs padded alltoall) picks an alternative exchange
+    primitive: all_gather along the concat axis + a local static slice.
+    The gather moves size-x more data but is one latency-optimal collective
+    — it wins for small, latency-bound exchanges (the tuner decides)."""
     if size == 1:
         return x
+    if variant:
+        g = lax.all_gather(x, axis_name, axis=concat_axis, tiled=True)
+        me = lax.axis_index(axis_name)
+        chunk = x.shape[split_axis] // size
+        return lax.dynamic_slice_in_dim(g, me * chunk, chunk, split_axis)
     if strategy == TRANSPOSE_PPERMUTE:
         return _ring_all_to_all(x, axis_name, split_axis, concat_axis, size)
     return lax.all_to_all(x, axis_name, split_axis, concat_axis, tiled=True)
@@ -189,7 +200,8 @@ def pencil_pipeline(
         c = do_first(c)
         c = _pad_to(c, a_first, pad_first)
         c = _transpose(c, name1, split_axis=a_first, concat_axis=a_mid,
-                       size=size1, strategy=params.s1)
+                       size=size1, strategy=params.s1,
+                       variant=params.v & 1)
         phase1_chunks.append(c)
     mid = jnp.concatenate(phase1_chunks, axis=a_last) if len(phase1_chunks) > 1 \
         else phase1_chunks[0]
@@ -223,7 +235,8 @@ def pencil_pipeline(
             c = jnp.concatenate([done, pend], axis=a_last)
         c = _pad_to(c, a_mid, mid_pad)
         c = _transpose(c, name2, split_axis=a_mid, concat_axis=a_last,
-                       size=size2, strategy=params.s2)
+                       size=size2, strategy=params.s2,
+                       variant=(params.v >> 1) & 1)
         c = _slice_to(c, a_last, last_true)
         c = do_last(c)
         out_chunks.append(c)

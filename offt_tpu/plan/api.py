@@ -392,7 +392,8 @@ def plan(
             p1 = p2 = 1
             dev_kind = jax.devices()[0].device_kind
         params = cache.lookup(
-            cache.plan_key(shape, spec.dtype, real, p1, p2, dev_kind))
+            cache.plan_key(shape, spec.dtype, real, p1, p2, dev_kind,
+                           inverse=inverse, batch_sharded=batch_sharded))
     if params is None:
         params = default_params(
             spec, p1=None if mesh is None else meshlib.mesh_shape(mesh)[0])

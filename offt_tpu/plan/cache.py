@@ -34,11 +34,21 @@ def _cache_file() -> pathlib.Path:
 
 
 def plan_key(shape, dtype, real: bool, p1: int, p2: int,
-             device_kind: str = "", batch: int = 1) -> str:
-    return "|".join([
+             device_kind: str = "", batch: int = 1,
+             inverse: bool = False, batch_sharded: bool = False) -> str:
+    """Cache key. Direction and batch-sharded mode are part of the key:
+    params tuned for the forward transform must not silently apply to the
+    inverse (phase-1 chunks the z extent there, not x) or to the
+    zero-collective batch-sharded mode."""
+    parts = [
         "x".join(map(str, shape)), str(dtype), "r2c" if real else "c2c",
         f"{p1}x{p2}", device_kind, f"b{batch}",
-    ])
+    ]
+    if inverse:
+        parts.append("inv")
+    if batch_sharded:
+        parts.append("bs")
+    return "|".join(parts)
 
 
 def _load() -> dict:

@@ -58,7 +58,10 @@ class PlanParams:
     # transpose strategy per phase (reference S knob generalized)
     s1: int = TRANSPOSE_ALL_TO_ALL
     s2: int = TRANSPOSE_ALL_TO_ALL
-    # padded (0) vs exact/ragged (1) shards (reference V knob; padded first)
+    # per-phase exchange primitive, 2 bits like the reference V (offt.h:96,
+    # alltoallv vs padded alltoall): bit0 = phase 1, bit1 = phase 2;
+    # 0 = split all_to_all / ring (see s1/s2), 1 = all_gather + local slice
+    # (latency-optimal, bandwidth-heavy — wins on small exchanges)
     v: int = 0
     # per-axis radix factorization override; None -> dft.factorize default
     radix_z: Optional[tuple[int, ...]] = None
@@ -135,6 +138,8 @@ def default_params(spec: ProblemSpec, p1: Optional[int] = None) -> PlanParams:
     """Heuristic default point — the analogue of ``params_set_default``
     (offt-compute.c:3127-3225). This is the baseline the tuner must beat
     by >=20% (BASELINE.md). ``p1`` pins the grid factor (a concrete mesh)."""
+    from ..utils import config as _cfg
+
     nx, ny, nz = spec.shape
     if p1 is None:
         cands = p1_candidates(nx, ny, nz, spec.p)
@@ -142,9 +147,11 @@ def default_params(spec: ProblemSpec, p1: Optional[int] = None) -> PlanParams:
         root = int(math.sqrt(spec.p))
         p1 = min(cands, key=lambda d: (abs(d - root), d))
     # fused Pallas kernels by default on TPU when every axis is 2-stage
-    # expressible (strictly fewer HBM passes than the unfused path)
-    use_pallas = 0
-    if spec.dtype in ("complex64", "float32"):
+    # expressible (strictly fewer HBM passes than the unfused path);
+    # the use_pallas config key (-1 auto / 0 off / 1 force) overrides
+    up_cfg = int(_cfg.get("use_pallas"))
+    use_pallas = max(up_cfg, 0)
+    if up_cfg < 0 and spec.dtype in ("complex64", "float32"):
         try:
             import jax
             from ..kernels.pallas_fft import can_use_pallas
@@ -153,15 +160,18 @@ def default_params(spec: ProblemSpec, p1: Optional[int] = None) -> PlanParams:
                 use_pallas = 1
         except Exception:
             pass
+    precision = str(_cfg.get("precision"))
     if spec.p == 1:
-        return PlanParams(p1=1, use_pallas=use_pallas)
+        return PlanParams(p1=1, use_pallas=use_pallas, precision=precision)
     # modest pipelining by default, mirroring the reference's W=2 heuristic
     # (offt-compute.c:3127-3225); tiles bounded by the per-device extents
     p2 = spec.p // p1
     t1 = min(4, max(1, nx // max(p1, 1)))
     t2 = min(4, max(1, spec.nz_freq // max(p2, 1)))
+    if spec.inverse:   # the inverse pipeline chunks z in phase 1, x in phase 2
+        t1, t2 = t2, t1
     return PlanParams(p1=p1, t1=t1, t2=t2, w1=min(2, t1), w2=min(2, t2),
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas, precision=precision)
 
 
 def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
@@ -178,13 +188,17 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
     # Padded static shards lift that: oversubscribed mesh axes just carry
     # garbage planes on the tail devices. p1_candidates stays conservative
     # so the *tuner* doesn't waste trials there.
-    # tiles must not exceed the per-device pencil-batch extents they chunk
-    m1 = -(-nx // params.p1)            # x rows per device, phase 1
-    m3 = -(-nzf // p2)                  # z planes per device, phase 2
-    if not (1 <= params.t1 <= max(m1, 1)):
-        return f"t1={params.t1} outside [1,{m1}]"
-    if not (1 <= params.t2 <= max(m3, 1)):
-        return f"t2={params.t2} outside [1,{m3}]"
+    # tiles must not exceed the per-device pencil-batch extents they chunk.
+    # Orientation matters: the forward pipeline's phase 1 chunks the local
+    # x rows and phase 2 the local z planes; the inverse pipeline mirrors
+    # (phase 1 chunks z, phase 2 chunks x — dist/pencil.py make_pencil_fft3d)
+    m1 = -(-nx // params.p1)            # x rows per device
+    m3 = -(-nzf // p2)                  # z planes per device
+    b1, b2 = (m3, m1) if spec.inverse else (m1, m3)
+    if not (1 <= params.t1 <= max(b1, 1)):
+        return f"t1={params.t1} outside [1,{b1}]"
+    if not (1 <= params.t2 <= max(b2, 1)):
+        return f"t2={params.t2} outside [1,{b2}]"
     if not (0 <= params.w1 <= params.t1):
         return f"w1={params.w1} outside [0,t1]"
     if not (0 <= params.w2 <= params.t2):
@@ -193,8 +207,8 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
         return f"ry={params.ry} outside [0,10]"
     if params.s1 not in (0, 1) or params.s2 not in (0, 1):
         return "s1/s2 outside {0,1}"
-    if params.v not in (0, 1):
-        return "v outside {0,1}"
+    if not (0 <= params.v <= 3):
+        return "v outside [0,3]"
     # buffer ceiling, reference BUFFER_SIZE_LIMIT (offt-tuning.c:170,183):
     # per-device working set of one pipelined chunk x window depth. Only
     # meaningful for distributed plans (local plans have no comm buffers).

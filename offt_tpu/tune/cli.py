@@ -66,8 +66,9 @@ def main(argv=None):
     p.add_argument("-e", action="append", default=[], metavar="name:v1:v2:...",
                    help="enum variable")
     p.add_argument("-m", "--method", default="wall",
-                   choices=["wall", "stdout", "user"],
-                   help="objective: wall time | first float on stdout")
+                   choices=["wall", "user", "sys", "stdout"],
+                   help="objective: wall | user | sys CPU time of the child "
+                        "(tuna.c:43-50 parity) | first float on stdout")
     p.add_argument("-s", "--strategy", default="nm",
                    choices=["nm", "pro", "random", "brute"])
     p.add_argument("-l", "--max-trials", type=int, default=50)
@@ -111,6 +112,12 @@ def main(argv=None):
                 for k, v in sub.items():
                     tok = tok.replace(k, v)
                 argv_t.append(tok)
+            # user/sys CPU time of the child (tuna.c measures rusage of the
+            # fork/exec'd trial): delta of RUSAGE_CHILDREN around the run
+            # is exact because trials execute serially
+            if ns.method in ("user", "sys"):
+                import resource
+                ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
             t0 = time.perf_counter()
             res = subprocess.run(argv_t, capture_output=True, text=True)
             wall = time.perf_counter() - t0
@@ -123,6 +130,12 @@ def main(argv=None):
                     except ValueError:
                         continue
                 return INF
+            if ns.method == "user":
+                ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+                return max(ru1.ru_utime - ru0.ru_utime, 1e-9)
+            if ns.method == "sys":
+                ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+                return max(ru1.ru_stime - ru0.ru_stime, 1e-9)
             return wall
 
     spawned = None

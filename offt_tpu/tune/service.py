@@ -64,6 +64,8 @@ class Session:
             self.outstanding.discard(pt)
             self.strategy.analyze(pt, float(perf))
             self.history.append((time.time(), list(point), float(perf)))
+            if len(self.history) > 10000:   # bound UI history
+                del self.history[:5000]
 
     def reject(self, point):
         with self.lock:
@@ -105,10 +107,16 @@ class TuningServer:
 
     # ---- connection sniffing (hserver.c handle_unknown_connection) ------
     def _handle_conn(self, sock: socket.socket):
-        head = sock.recv(8, socket.MSG_PEEK)
+        # a silent client must not pin a handler thread forever on the peek
+        sock.settimeout(30.0)
+        try:
+            head = sock.recv(8, socket.MSG_PEEK)
+        except (socket.timeout, OSError):
+            return
         if head[:4] in (b"GET ", b"HEAD", b"POST"):
             self._handle_http(sock)
         else:
+            sock.settimeout(None)  # tuning clients may think between ops
             self._handle_client(sock)
 
     # ---- JSON-lines tuning protocol ------------------------------------
@@ -167,8 +175,12 @@ class TuningServer:
 
     # ---- HTTP monitor (httpsvr.c + overview.cgi/session-view.cgi) -------
     def _handle_http(self, sock: socket.socket):
-        data = sock.recv(4096).decode("latin-1")
-        path = data.split(" ")[1] if " " in data else "/"
+        try:
+            data = sock.recv(4096).decode("latin-1")
+        except (socket.timeout, OSError):
+            return
+        parts = data.split(" ")
+        path = parts[1] if len(parts) > 1 else "/"
         if path.startswith("/session/"):
             try:
                 body = self._session_page(int(path.split("/")[2]))
@@ -221,13 +233,17 @@ class TuningServer:
                     f"{(t - t0) / max(hist[-1][0] - t0, 1e-9) * 560 + 20:.1f},"
                     f"{180 - (p - lo) / span * 160:.1f}"
                     for t, _, p in hist if p == p and p != float("inf"))
+        # client-supplied points/values are untrusted: escape everything
+        # interpolated into markup (the JSON protocol accepts arbitrary
+        # values for "point")
         rows = "".join(
             f"<tr><td>{time.strftime('%H:%M:%S', time.localtime(t))}</td>"
-            f"<td>{q}</td><td>{p:.6g}</td></tr>"
+            f"<td>{html.escape(repr(q))}</td><td>{p:.6g}</td></tr>"
             for t, q, p in hist[-200:])
         best_vals, best_perf = s.best()
         return (f"<html><body><h2>{html.escape(s.name)}</h2>"
-                f"<p>best: {best_vals} perf={best_perf}</p>"
+                f"<p>best: {html.escape(repr(best_vals))} "
+                f"perf={html.escape(repr(best_perf))}</p>"
                 f"<svg width=600 height=200 style='border:1px solid #ccc'>"
                 f"<polyline fill='none' stroke='#36c' points='{pts}'/></svg>"
                 f"<table border=1><tr><th>time</th><th>point</th>"

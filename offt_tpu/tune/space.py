@@ -11,8 +11,10 @@ params_convert (offt-tuning.c:80-136).
 
 from __future__ import annotations
 
+import ast
 import dataclasses
 import itertools
+import operator
 from typing import Optional, Sequence
 
 from ..kernels import dft
@@ -25,6 +27,75 @@ from ..plan.params import (
 )
 
 Point = tuple  # index vector, one int per dimension
+
+
+# ---- safe constraint expressions ------------------------------------------
+# The reference pipes constraint text through the Omega calculator
+# (plugins/constraint.c) — a restricted arithmetic language. We mirror that
+# restriction with an AST whitelist: comparisons / bool ops / arithmetic /
+# names / min|max|abs calls only. eval() with empty __builtins__ is NOT a
+# sandbox (escapable via attribute chains), so attribute access, subscripts,
+# lambdas etc. are rejected outright.
+
+_BIN_OPS = {
+    ast.Add: operator.add, ast.Sub: operator.sub, ast.Mult: operator.mul,
+    ast.Div: operator.truediv, ast.FloorDiv: operator.floordiv,
+    ast.Mod: operator.mod, ast.Pow: operator.pow,
+}
+_CMP_OPS = {
+    ast.Lt: operator.lt, ast.LtE: operator.le, ast.Gt: operator.gt,
+    ast.GtE: operator.ge, ast.Eq: operator.eq, ast.NotEq: operator.ne,
+}
+_SAFE_FNS = {"min": min, "max": max, "abs": abs}
+
+
+def _eval_node(node, env: dict):
+    if isinstance(node, ast.Expression):
+        return _eval_node(node.body, env)
+    if isinstance(node, ast.Constant):
+        if isinstance(node.value, (int, float, bool)):
+            return node.value
+        raise ValueError(f"constant {node.value!r} not allowed")
+    if isinstance(node, ast.Name):
+        if node.id in env:
+            return env[node.id]
+        raise ValueError(f"unknown name {node.id!r}")
+    if isinstance(node, ast.BoolOp):
+        vals = (_eval_node(v, env) for v in node.values)
+        return all(vals) if isinstance(node.op, ast.And) else any(vals)
+    if isinstance(node, ast.UnaryOp):
+        v = _eval_node(node.operand, env)
+        if isinstance(node.op, ast.Not):
+            return not v
+        if isinstance(node.op, ast.USub):
+            return -v
+        if isinstance(node.op, ast.UAdd):
+            return +v
+        raise ValueError("unary op not allowed")
+    if isinstance(node, ast.BinOp) and type(node.op) in _BIN_OPS:
+        return _BIN_OPS[type(node.op)](_eval_node(node.left, env),
+                                       _eval_node(node.right, env))
+    if isinstance(node, ast.Compare):
+        left = _eval_node(node.left, env)
+        for op, comp in zip(node.ops, node.comparators):
+            if type(op) not in _CMP_OPS:
+                raise ValueError("comparison op not allowed")
+            right = _eval_node(comp, env)
+            if not _CMP_OPS[type(op)](left, right):
+                return False
+            left = right
+        return True
+    if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+            and node.func.id in _SAFE_FNS and not node.keywords):
+        return _SAFE_FNS[node.func.id](*(_eval_node(a, env)
+                                         for a in node.args))
+    raise ValueError(f"expression node {type(node).__name__} not allowed")
+
+
+def eval_constraint(expr: str, env: dict) -> bool:
+    """Evaluate a constraint expression over dimension values, whitelisted
+    to arithmetic/comparison/min|max|abs — safe for untrusted config text."""
+    return bool(_eval_node(ast.parse(expr, mode="eval"), env))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,8 +171,7 @@ class SearchSpace:
                    for i, d in zip(point, self.dims)}
             for expr in self.constraints:
                 try:
-                    ok = bool(eval(expr, {"__builtins__": {}},
-                                   dict(env, min=min, max=max, abs=abs)))
+                    ok = eval_constraint(expr, env)
                 except Exception as e:
                     return f"constraint {expr!r} errored: {e!r}"
                 if not ok:
@@ -167,6 +237,7 @@ def build_space(
         dims.append(Dimension("ry", tuple(range(0, 11))))
         dims.append(Dimension("s1", (0, 1)))
         dims.append(Dimension("s2", (0, 1)))
+        dims.append(Dimension("v", (0, 1, 2, 3)))
     if include_radix:
         dims.append(Dimension("radix_z", _radix_candidates(nz if not spec.real
                                                            else nz // 2)))

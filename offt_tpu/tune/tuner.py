@@ -41,6 +41,8 @@ def _default_timer(reps: int = 3, inner: int = 4) -> Callable[[Plan], float]:
         import jax
 
         shape = (p.ndim - 3) * (1,) + tuple(p.spec.shape)
+        if p.spec.real and p.spec.inverse:   # c2r input: half spectrum
+            shape = shape[:-1] + (shape[-1] // 2 + 1,)
         rng = np.random.default_rng(0)
         rdt = np.float32 if "64" in p.spec.dtype else np.float64
         re = jax.device_put(rng.standard_normal(shape).astype(rdt))
@@ -136,6 +138,11 @@ class Tuner:
             kw = {"seed": seed}
             if strategy in ("nm", "pro"):
                 kw["init_simplex"] = init_simplex
+                # SIMPLEX_SIZE config key (defaults.h analogue); 0 = n+1
+                from ..utils import config as _cfg
+                size = int(_cfg.get("simplex_size"))
+                if size > 0:
+                    kw["size"] = size
             self.strategy: Strategy = make_strategy(strategy, space, **kw)
         else:
             self.strategy = strategy
@@ -281,6 +288,7 @@ def tune(
     *,
     mesh=None,
     real: bool = False,
+    inverse: bool = False,
     strategy: str = None,
     max_trials: int = None,
     timer: Optional[Callable[[Plan], float]] = None,
@@ -290,7 +298,9 @@ def tune(
     include_radix: bool = True,
 ) -> TuneResult:
     """Auto-tune a 3-D FFT plan for (shape, dtype, mesh); returns the best
-    PlanParams and writes them to the persistent plan cache."""
+    PlanParams and writes them to the persistent plan cache. Forward and
+    inverse transforms are tuned (and cached) separately — their pipelines
+    chunk different axes per phase."""
     import jax
     import jax.numpy as jnp
 
@@ -299,6 +309,7 @@ def tune(
     # layered config (defaults < file < env < kwargs), hcfg.c analogue
     strategy = _cfg.get("strategy", strategy=strategy)
     max_trials = int(_cfg.get("max_trials", max_trials=max_trials))
+    batch = max(1, int(_cfg.get("prefetch_count")))
 
     p = 1 if mesh is None else mesh.devices.size
     fixed_p1 = None
@@ -306,7 +317,7 @@ def tune(
         from ..dist.mesh import mesh_shape
         fixed_p1 = mesh_shape(mesh)[0]
     spec = ProblemSpec(shape=tuple(shape), dtype=str(jnp.dtype(dtype)),
-                       real=real, p=p)
+                       real=real, inverse=inverse, p=p)
     space = build_space(spec, fixed_p1=fixed_p1, include_radix=include_radix)
     user_timer = timer
     timer = timer or _default_timer()
@@ -316,8 +327,8 @@ def tune(
         # nothing to search (single device, no tunable kernels): time the
         # default point and return it
         dflt = default_params(spec, p1=fixed_p1)
-        pl0 = build_plan(shape, dtype, mesh=mesh, real=real, params=dflt,
-                         use_cache=False, planar=True)
+        pl0 = build_plan(shape, dtype, mesh=mesh, real=real, inverse=inverse,
+                         params=dflt, use_cache=False, planar=True)
         perf = timer(pl0)
         log.emit("tune_done", best_perf=perf, default_perf=perf, trials=0)
         log.close()
@@ -325,8 +336,8 @@ def tune(
                           default_perf=perf, trials=[], converged=True)
 
     def objective(params: PlanParams) -> float:
-        pl = build_plan(shape, dtype, mesh=mesh, real=real, params=params,
-                        use_cache=False, planar=True)
+        pl = build_plan(shape, dtype, mesh=mesh, real=real, inverse=inverse,
+                        params=params, use_cache=False, planar=True)
         return timer(pl)
 
     # split-stage path: AOT-compile candidates in threads (the codegen-
@@ -338,17 +349,21 @@ def tune(
 
         rng = np.random.default_rng(0)
         rdt = np.float32 if "64" in spec.dtype else np.float64
-        _re = _jax.device_put(rng.standard_normal(shape).astype(rdt))
-        if real:
+        in_shape = tuple(shape)
+        if real and inverse:                  # c2r input: half spectrum
+            in_shape = in_shape[:-1] + (in_shape[-1] // 2 + 1,)
+        _re = _jax.device_put(rng.standard_normal(in_shape).astype(rdt))
+        if real and not inverse:
             shared_args = (_re,)
         else:
-            _im = _jax.device_put(rng.standard_normal(shape).astype(rdt))
+            _im = _jax.device_put(rng.standard_normal(in_shape).astype(rdt))
             shared_args = (_re, _im)
         avals = tuple(_jax.ShapeDtypeStruct(a.shape, a.dtype)
                       for a in shared_args)
 
         def compile_fn(params: PlanParams):
-            pl = build_plan(shape, dtype, mesh=mesh, real=real, params=params,
+            pl = build_plan(shape, dtype, mesh=mesh, real=real,
+                            inverse=inverse, params=params,
                             use_cache=False, planar=True)
             return pl._fn.lower(*avals).compile()
 
@@ -395,7 +410,7 @@ def tune(
     dflt_point = space.from_params(dflt)
     init_simplex = hybrid_initial_simplex(space, seed=seed)
     tuner = Tuner(space, objective, strategy=strategy, max_trials=max_trials,
-                  seed=seed, log=log,
+                  seed=seed, log=log, batch=batch,
                   init_points=[space.to_params(pt) for pt in init_simplex],
                   compile_fn=compile_fn, measure_fn=measure_fn)
     if log_path:
@@ -439,7 +454,8 @@ def tune(
         dev_kind = (mesh.devices.flat[0].device_kind if mesh is not None
                     else jax.devices()[0].device_kind)
         plan_cache.store(
-            plan_cache.plan_key(shape, spec.dtype, real, p1, p2, dev_kind),
+            plan_cache.plan_key(shape, spec.dtype, real, p1, p2, dev_kind,
+                                inverse=inverse),
             best_params, perf=best_perf)
     log.close()
     return TuneResult(best_params=best_params, best_perf=best_perf,

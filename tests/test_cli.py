@@ -77,3 +77,23 @@ def test_runfft_tune_smoke():
     assert "tuned: best=" in out.stderr
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["t_ms"] > 0
+
+
+def test_runfft_batch_with_override():
+    """-b together with knob overrides used to crash plan() with a 4-D
+    shape (ADVICE round 1, medium)."""
+    out = run_cli(["bench", "-N", "8", "-b", "2", "-a", "offt", "-r", "1",
+                   "--t1", "1", "--verify"])
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["shape"] == [2, 8, 8, 8]
+
+
+def test_offt_tune_method_user():
+    """-m user measures child CPU time via RUSAGE_CHILDREN (tuna.c parity)."""
+    out = run_cli(["tune", "-i", "a:1:4", "-s", "random", "-l", "3", "-q",
+                   "-m", "user", "--",
+                   sys.executable, "-c", "pass"])
+    assert out.returncode == 0, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["best"] is not None and rec["perf"] > 0

@@ -170,3 +170,22 @@ def test_batch_sharded_requires_mesh():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         offt_tpu.plan((16, 16, 16), "complex64", batch_sharded=True)
+
+
+@pytest.mark.parametrize("v", [1, 2, 3])
+def test_allgather_variant_matches_a2a(v):
+    """The v knob (per-phase exchange primitive: all_gather+slice vs
+    all_to_all) must not change results — reference V parity (offt.h:96)."""
+    mesh = make_mesh(2, 4)
+    x = rand_c((16, 16, 16), seed=v)
+    base = offt_tpu.fft3d(x, mesh=mesh, params=PlanParams(p1=2, t1=2, t2=2))
+    got = offt_tpu.fft3d(x, mesh=mesh,
+                         params=PlanParams(p1=2, t1=2, t2=2, v=v))
+    assert rel_err(got, base) < 1e-13
+
+
+def test_allgather_variant_uneven():
+    mesh = make_mesh(2, 4)
+    x = rand_c((12, 10, 9), seed=7)
+    got = offt_tpu.fft3d(x, mesh=mesh, params=PlanParams(p1=2, v=3))
+    assert rel_err(got, np.fft.fftn(x)) < 1e-12

@@ -101,3 +101,12 @@ def test_config_layers(tmp_path, monkeypatch):
     assert config.get("server_port") == 2020         # int coercion
     snap = config.snapshot()
     assert snap["strategy"] == "brute"
+
+
+def test_plan_key_distinguishes_direction_and_mode():
+    k_fwd = cache.plan_key((64,) * 3, "complex64", False, 2, 4, "v5e")
+    k_inv = cache.plan_key((64,) * 3, "complex64", False, 2, 4, "v5e",
+                           inverse=True)
+    k_bs = cache.plan_key((64,) * 3, "complex64", False, 2, 4, "v5e",
+                          batch_sharded=True)
+    assert len({k_fwd, k_inv, k_bs}) == 3

@@ -175,3 +175,34 @@ def test_expression_constraints():
     bad = build_space(spec, include_radix=False,
                       constraints=("nonsense ===",))
     assert "errored" in bad.infeasible_reason(tuple(0 for _ in bad.dims))
+
+
+def test_constraint_eval_is_sandboxed():
+    """Constraint strings must reject attribute chains / subscripts — eval()
+    with empty __builtins__ was escapable (ADVICE round 1)."""
+    from offt_tpu.tune.space import eval_constraint
+
+    assert eval_constraint("min(t1, 3) + 1 <= t2 * 2", {"t1": 4, "t2": 2})
+    assert not eval_constraint("t1 < 2", {"t1": 4})
+    for evil in ("().__class__", "t1.__class__", "[1][0]",
+                 "(lambda: 1)()", "__import__('os')"):
+        with pytest.raises(Exception):
+            eval_constraint(evil, {"t1": 1})
+
+
+def test_inverse_tune_spec_bounds():
+    """t1/t2 feasibility bounds follow the pipeline orientation: the inverse
+    chunks z in phase 1 and x in phase 2 (ADVICE round 1 plan_key item)."""
+    from offt_tpu.plan.params import (PlanParams, ProblemSpec,
+                                      infeasible_reason)
+
+    # 32 x 8 x 64 on a 4x2 mesh: fwd phase1 chunks x rows (32/4 = 8),
+    # inverse phase1 chunks z planes (64/2 = 32)
+    fwd = ProblemSpec(shape=(32, 8, 64), p=8)
+    inv = ProblemSpec(shape=(32, 8, 64), p=8, inverse=True)
+    p = PlanParams(p1=4, t1=16, t2=1)
+    assert infeasible_reason(fwd, p) is not None      # 16 > 8
+    assert infeasible_reason(inv, p) is None          # 16 <= 32
+    q = PlanParams(p1=4, t1=1, t2=16)
+    assert infeasible_reason(fwd, q) is None          # 16 <= 32
+    assert infeasible_reason(inv, q) is not None      # 16 > 8
