@@ -42,6 +42,22 @@ from . import dft
 # precision argument for error-tolerant workloads.
 DEFAULT_PRECISION = "highest"
 
+# Mosaic's DEFAULT scoped-vmem limit is 16 MiB, but v5e accepts raised
+# limits (probed: blocks up to ~85 MiB compile and run at
+# vmem_limit_bytes=128 MiB). Large-shape kernels (512^3 slabs, padded-x
+# blocks) pass an explicit limit instead of refusing to fuse.
+_VMEM_DEFAULT = 16 << 20
+_VMEM_CAP = 100 << 20
+
+
+def _vmem_params(est_bytes: int) -> dict:
+    """compiler_params kwargs raising the scoped-vmem limit when the
+    estimated working set exceeds the Mosaic default."""
+    if est_bytes <= _VMEM_DEFAULT:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(est_bytes, _VMEM_CAP)))}
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -418,9 +434,13 @@ def fft_1d_complex(x, axis: int = -1, inverse: bool = False, radices=None,
 # 2 HBM round trips total (slab + x-axis) instead of 3.
 # --------------------------------------------------------------------------
 
-# conservative VMEM budget for one (Y, Z) planar slab + stage intermediates
-# (512x512 measured 16.34M > the 16M scoped-vmem limit on v5e)
-_SLAB_VMEM_LIMIT = 256 * 512
+# slab ceiling in ELEMENTS of (Y, Z): the working set is ~24 slab-planes
+# (in/out double-buffered planar pairs + stage intermediates; 512x512
+# measured 16.34 MiB = ~16 planes) and the raised vmem limit caps at
+# _VMEM_CAP, so 1M elems (1024^2) is the largest fusable slab
+_SLAB_VMEM_LIMIT = 1 << 20
+# empirical planes-of-slab working-set multiplier for the vmem estimate
+_SLAB_VMEM_PLANES = 24
 
 
 def _slab_kernel(xr_ref, xi_ref, g1z, g2z, twrz, twiz, g1y, g2y, twry, twiy,
@@ -499,6 +519,7 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
         out_shape=(jax.ShapeDtypeStruct(out_shape3, jnp.float32),
                    jax.ShapeDtypeStruct(out_shape3, jnp.float32)),
         interpret=_interpret(),
+        **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * nz * 4),
     )(xr3, xi3, *consts)
     out_trail = lead + (ny, nz + zpad)
     return yr.reshape(out_trail), yi.reshape(out_trail)
@@ -531,12 +552,19 @@ def _x_strided_kernel(xr_ref, xi_ref, g1, g2, twr, twi, or_ref, oi_ref,
     oi_ref[0] = yi.reshape(n, ty, z)
 
 
+# working-set multiplier for the (X, 8, 128) x-kernel blocks: in/out planar
+# pairs double-buffered (8 blocks) + core temps (512^3 measured 24.01 MiB
+# = 12 blocks + 12 KiB of tables; 16 leaves headroom)
+_X_VMEM_BLOCKS = 16
+
+
 def can_use_padded_x(n: int, ny: int, nz: int, radices=None) -> bool:
     """Blocks are (X, 8, 128): sublane dim must divide 8, minor 128
-    (Mosaic block rules) and 4 double-buffered planar blocks must fit VMEM."""
+    (Mosaic block rules); the working set must fit the RAISED vmem limit
+    (v5e accepts up to ~100 MiB scoped vmem — n=2048 still qualifies)."""
     return (_pick_2stage(n, radices) is not None
             and ny % 8 == 0 and nz % 128 == 0
-            and n * 8 * 128 * 4 * 8 <= (14 << 20))
+            and _X_VMEM_BLOCKS * n * 8 * 128 * 4 <= _VMEM_CAP)
 
 
 def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
@@ -572,6 +600,7 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
         out_shape=(jax.ShapeDtypeStruct(out_shape4, jnp.float32),
                    jax.ShapeDtypeStruct(out_shape4, jnp.float32)),
         interpret=_interpret(),
+        **_vmem_params(_X_VMEM_BLOCKS * n * ty * tz * 4),
     )(xr4, xi4, *consts)
     out_shape = lead + (n, ny, z_true)
     return yr.reshape(out_shape), yi.reshape(out_shape)
@@ -610,6 +639,7 @@ def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
         out_shape=(jax.ShapeDtypeStruct(out_shape4, jnp.float32),
                    jax.ShapeDtypeStruct(out_shape4, jnp.float32)),
         interpret=_interpret(),
+        **_vmem_params(_X_VMEM_BLOCKS * n * ty * tz * 4),
     )(xr4, xi4, *consts)
     out_shape = lead + (n, ny, nz + zpad)
     return yr.reshape(out_shape), yi.reshape(out_shape)
