@@ -360,7 +360,8 @@ def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
 
 def fft3d_planar(xr, xi, inverse: bool = False,
                  rad_z=None, rad_y=None, rad_x=None,
-                 precision: str = DEFAULT_PRECISION, block: int = 0):
+                 precision: str = DEFAULT_PRECISION, block: int = 0,
+                 slab_rows: int = 0):
     """Full 3-D c2c transform on planar arrays: 2-3 HBM round trips
     (fused (y,z) slab when it fits VMEM + one kernel per remaining axis)."""
     ax, ay, az = xr.ndim - 3, xr.ndim - 2, xr.ndim - 1
@@ -379,12 +380,13 @@ def fft3d_planar(xr, xi, inverse: bool = False,
                         and (row_stride & (row_stride - 1)) == 0)
         if use_padded_x:
             xr, xi = fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z,
-                                 precision=precision, zpad=_STRIDE_PAD)
+                                 precision=precision, zpad=_STRIDE_PAD,
+                                 block_rows=slab_rows)
             return fft_x_from_padded(xr, xi, nz, radices=rad_x,
                                      precision=precision)
         if fuse:
             xr, xi = fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z,
-                                 precision=precision)
+                                 precision=precision, block_rows=slab_rows)
         else:
             xr, xi = fft_1d_planar(xr, xi, az, radices=rad_z, **kw)
             xr, xi = fft_1d_planar(xr, xi, ay, radices=rad_y, **kw)
@@ -405,12 +407,13 @@ def fft3d_planar(xr, xi, inverse: bool = False,
                                  radices=rad_x, precision=precision)
         return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
                            rad_z=rad_z, precision=precision, z_true=nz,
-                           scale=1.0 / (nx_ * ny * nz))
+                           scale=1.0 / (nx_ * ny * nz),
+                           block_rows=slab_rows)
     xr, xi = fft_1d_planar(xr, xi, ax, inverse=True, radices=rad_x, **kw)
     if fuse:
         return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
                            rad_z=rad_z, precision=precision,
-                           scale=1.0 / (ny * nz))
+                           scale=1.0 / (ny * nz), block_rows=slab_rows)
     xr, xi = fft_1d_planar(xr, xi, ay, inverse=True, radices=rad_y, **kw)
     xr, xi = fft_1d_planar(xr, xi, az, inverse=True, radices=rad_z, **kw)
     return xr, xi
@@ -472,7 +475,7 @@ def can_fuse_slab(ny: int, nz: int, rad_y=None, rad_z=None) -> bool:
 def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
                 rad_y=None, rad_z=None,
                 precision: str = DEFAULT_PRECISION, zpad: int = 0,
-                z_true: int = 0, scale: float = 1.0):
+                z_true: int = 0, scale: float = 1.0, block_rows: int = 0):
     """FFT along the last TWO axes of planar (..., Y, Z) float32 arrays in a
     single fused kernel (one HBM read + one write for both axes).
 
@@ -498,8 +501,13 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
               (tz["g1"], tz["g2"], tz["twr"], tz["twi"],
                ty["g1"], ty["g2"], ty["twr"], ty["twi"])]
     kernel = functools.partial(_slab_kernel, rz=rz, ry=ry, precision=precision)
-    # multiple x-rows per block when slabs are small (target ~512 KiB)
-    tb = max(1, min(8, (1 << 17) // max(ny * nz, 1)))
+    # multiple x-rows per block (bigger DMAs; block_rows = tunable override).
+    # Measured on v5e: tb=4 at 256^2 (2.25 -> 2.07 ms full 256^3),
+    # tb=2 at 512^2 (17.8 -> 17.4 ms full 512^3), tb=8 at <=128^2 slabs.
+    tb = block_rows or max(2, min(8, (1 << 18) // max(ny * nz, 1)))
+    while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * nz * 4 > _VMEM_CAP:
+        tb //= 2
+    tb = min(tb, p)
     while p % tb != 0:
         tb -= 1
     # in/out blocks carry only the true z lanes; any trailing pad lanes in

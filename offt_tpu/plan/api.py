@@ -334,7 +334,7 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                     re, im, inverse=spec.inverse,
                     rad_z=params.radix_z, rad_y=params.radix_y,
                     rad_x=params.radix_x, precision=params.precision,
-                    block=params.block_batch)
+                    block=params.block_batch, slab_rows=params.slab_rows)
             return jax.jit(_scaled(fn)), True
     raw_fn, in_shard, out_shard = _build_raw(spec, params, mesh, ndim)
     return _jit_plan_fn(spec, _scaled(raw_fn), in_shard, out_shard, planar)

@@ -71,6 +71,8 @@ class PlanParams:
     use_pallas: int = 0
     # batch tile (pencils per Pallas block); 0 = auto
     block_batch: int = 0
+    # x-rows per fused (y,z)-slab block; 0 = auto (measured-best table)
+    slab_rows: int = 0
     # MXU precision for DFT contractions: 'highest' (bf16x6, 1e-7-grade) |
     # 'high' (bf16x3) | 'default' (single bf16 pass, ~1e-3 — error-tolerant
     # workloads only)
@@ -209,6 +211,8 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
         return "s1/s2 outside {0,1}"
     if not (0 <= params.v <= 3):
         return "v outside [0,3]"
+    if params.slab_rows not in (0, 1, 2, 4, 8, 16):
+        return "slab_rows outside {0,1,2,4,8,16}"
     # buffer ceiling, reference BUFFER_SIZE_LIMIT (offt-tuning.c:170,183):
     # per-device working set of one pipelined chunk x window depth. Only
     # meaningful for distributed plans (local plans have no comm buffers).

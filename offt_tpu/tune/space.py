@@ -254,6 +254,8 @@ def build_space(
         # Pallas block shape (lanes for sublane kernels / rows for the
         # last-axis kernel); 0 = built-in heuristic
         dims.append(Dimension("block_batch", (0, 128, 256, 512, 1024)))
+        # x-rows per fused (y,z)-slab block; 0 = measured-best heuristic
+        dims.append(Dimension("slab_rows", (0, 1, 2, 4, 8)))
     return SearchSpace(spec=spec, dims=tuple(dims),
                        constraints=tuple(constraints))
 
