@@ -577,10 +577,14 @@ def can_use_padded_x(n: int, ny: int, nz: int, radices=None) -> bool:
 
 def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
                       radices=None, precision: str = DEFAULT_PRECISION,
-                      scale: float = 1.0):
+                      scale: float = 1.0, out_lanes: int = 0):
     """x-axis FFT over a (..., X, Y, Z+pad) padded intermediate; writes the
     unpadded (..., X, Y, Z) result. Input blocks are pitched (X, 8, 128)
-    reads that skip the pad lanes entirely; leading dims become grid dims."""
+    reads that skip the pad lanes entirely; leading dims become grid dims.
+
+    ``out_lanes`` (>= z_true) allocates extra unwritten output lanes —
+    consumers that append a plane (the r2c Nyquist fixup) can then update
+    in place instead of paying a full-array concatenate pass."""
     lead = xr3.shape[:-3]
     b = int(np.prod(lead)) if lead else 1
     n, ny, zp = xr3.shape[-3:]
@@ -599,7 +603,8 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
                        memory_space=pltpu.VMEM)
     const_spec = [pl.BlockSpec(c.shape, lambda i, j, k, c=c: (0,) * c.ndim,
                                memory_space=pltpu.VMEM) for c in consts]
-    out_shape4 = (b, n, ny, z_true)
+    zo = max(out_lanes, z_true)
+    out_shape4 = (b, n, ny, zo)
     yr, yi = pl.pallas_call(
         kernel,
         grid=(b, ny // ty, z_true // tz),
@@ -610,21 +615,27 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
         interpret=_interpret(),
         **_vmem_params(_X_VMEM_BLOCKS * n * ty * tz * 4),
     )(xr4, xi4, *consts)
-    out_shape = lead + (n, ny, z_true)
+    out_shape = lead + (n, ny, zo)
     return yr.reshape(out_shape), yi.reshape(out_shape)
 
 
 def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
                     radices=None, precision: str = DEFAULT_PRECISION,
-                    scale: float = 1.0):
+                    scale: float = 1.0, z_true: int = 0):
     """x-axis FFT reading an unpadded (..., X, Y, Z) array and writing a
     Z-padded (..., X, Y, Z+zpad) intermediate (stride-breaking layout for a
-    downstream pitched-read consumer, e.g. the inverse slab). Unscaled."""
+    downstream pitched-read consumer, e.g. the inverse slab). Unscaled.
+
+    ``z_true`` (< Z) restricts the transform to the first z_true input
+    lanes (pitched reads skip the rest — the c2r path drops its Nyquist
+    lane this way without a slice pass)."""
     lead = xr3.shape[:-3]
     b = int(np.prod(lead)) if lead else 1
     n, ny, nz = xr3.shape[-3:]
-    xr4 = xr3.reshape(b, n, ny, nz)
-    xi4 = xi3.reshape(b, n, ny, nz)
+    if z_true:
+        nz = z_true
+    xr4 = xr3.reshape(b, n, ny, xr3.shape[-1])
+    xi4 = xi3.reshape(b, n, ny, xr3.shape[-1])
     pick = _pick_2stage(n, radices)
     if pick is None:
         raise ValueError(f"N={n} not 2-stage expressible")
@@ -754,3 +765,425 @@ def rfft_last_planar(x: jax.Array, radices=None,
         yr = yr[:b]
         yi = yi[:b]
     return yr.reshape(*lead, m + 1), yi.reshape(*lead, m + 1)
+
+
+# --------------------------------------------------------------------------
+# packed-Nyquist 3-D r2c/c2r fast path.
+#
+# A (..., Nz/2+1) frequency axis is the r2c killer on TPU: 129 lanes
+# physically occupy TWO 128-lane tiles, so every downstream pass moves ~2x
+# the bytes and every kernel block misaligns. Instead we keep the internal
+# frequency axis at exactly M = Nz/2 lanes by PACKING the (purely real,
+# for real input) k=0 and k=M planes into one complex plane
+# P = X_0 + i*X_M — the classic two-real-FFTs-in-one-complex trick, applied
+# across the z-frequency axis. The y/x transforms are complex-linear and
+# act per-frequency-plane, so the packing survives them; a cheap 2-D
+# conjugate-symmetry untangle of plane 0 at the very end recovers the
+# numpy rfftn layout. (Reference: r2c is first-class throughout
+# offt-compute.c, setup_p1d is_r2c paths; the packing itself is the
+# TPU-native replacement for FFTW's r2c storage.)
+#
+# Forward pipeline (2 HBM passes + one small plane fixup):
+#   rfft_slab_yz:  real (P, Y, N) -> planar (P, Y, M+pad)
+#                  [in-kernel: even/odd sublane split -> half-length z core
+#                   x2 (reversal-free untangle) -> pack row 0 -> y core]
+#   fft_x_from_padded: pitched x pass at M aligned lanes
+#   host-side fixup: 2-D untangle of plane 0 -> (..., M+1)
+# Inverse mirrors it (pack planes 0/M -> inverse x -> c2r slab with fused
+# untangle + even/odd interleave -> real output).
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _rfft_h_matrix(n: int) -> np.ndarray:
+    """The r2c untangle as ONE folded real matrix H (2M x 2M):
+    [Xr; Xi] = H @ [Vr; Vi], where V = fft_M(even + i*odd) and
+    X[k] = alpha[k] V[k] + beta[k] conj(V[M-k]) (alpha = (1-iW^k)/2,
+    beta = (1+iW^k)/2, W = exp(-2i pi/N)); row M+0 is replaced by the
+    Nyquist packing X[M].re = Re(V0) - Im(V0). One depth-2M MXU dot
+    (perfect 128-lane utilization) replaces the reversal trick's second
+    2-stage core + the twiddled VPU untangle chain."""
+    m = n // 2
+    k = np.arange(m)
+    th = 2.0 * np.pi * k / n
+    ar = (1.0 - np.sin(th)) * 0.5      # Re alpha
+    ai = -np.cos(th) * 0.5             # Im alpha
+    br = (1.0 + np.sin(th)) * 0.5      # Re beta
+    bi = np.cos(th) * 0.5              # Im beta
+    rho = (-k) % m                      # reversal permutation M-k mod M
+    h = np.zeros((2 * m, 2 * m))
+    idx = np.arange(m)
+    # Xr[k] = ar*Vr[k] - ai*Vi[k] + br*Vr[rho] + bi*Vi[rho]
+    h[idx, idx] += ar
+    h[idx, m + idx] += -ai
+    h[idx, rho] += br
+    h[idx, m + rho] += bi
+    # Xi[k] = ai*Vr[k] + ar*Vi[k] + bi*Vr[rho] - br*Vi[rho]
+    h[m + idx, idx] += ai
+    h[m + idx, m + idx] += ar
+    h[m + idx, rho] += bi
+    h[m + idx, m + rho] += -br
+    # packed Nyquist: row (imag, k=0) := X[M].re = Vr[0] - Vi[0]
+    h[m, :] = 0.0
+    h[m, 0] = 1.0
+    h[m, m] = -1.0
+    return h.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _crfft_g_matrix(n: int, scale: float = 1.0) -> np.ndarray:
+    """The c2r re-tangle as ONE folded real matrix G (2M x 2M):
+    [Vr; Vi] = G @ [Xr; Xi] for the PACKED half-spectrum (plane 0 carries
+    A = X[0] in re, B = X[M] in im). V[k] = alpha'[k] X[k] +
+    beta'[k] conj(X[M-k]) (alpha' = (1+iW^-k)/2, beta' = (1-iW^-k)/2)
+    for k >= 1; V[0] = (A+B)/2 + i(A-B)/2. ``scale`` (1/(Nx*Ny*M) for an
+    exact inverse after unscaled x/y passes) is folded in."""
+    m = n // 2
+    g = np.zeros((2 * m, 2 * m))
+    k = np.arange(1, m)
+    th = 2.0 * np.pi * k / n
+    ar = (1.0 - np.sin(th)) * 0.5      # Re alpha'
+    ai = np.cos(th) * 0.5              # Im alpha'
+    br = (1.0 + np.sin(th)) * 0.5      # Re beta'
+    bi = -np.cos(th) * 0.5             # Im beta'
+    rho = m - k                         # in 1..M-1 (never the packed row)
+    # Vr[k] = ar*Xr[k] - ai*Xi[k] + br*Xr[rho] + bi*Xi[rho]
+    g[k, k] += ar
+    g[k, m + k] += -ai
+    g[k, rho] += br
+    g[k, m + rho] += bi
+    # Vi[k] = ai*Xr[k] + ar*Xi[k] + bi*Xr[rho] - br*Xi[rho]
+    g[m + k, k] += ai
+    g[m + k, m + k] += ar
+    g[m + k, rho] += bi
+    g[m + k, m + rho] += -br
+    # packed row 0: A = Xr[0], B = Xi[0]; V[0] = (A+B)/2 + i(A-B)/2
+    g[0, 0] = 0.5
+    g[0, m] = 0.5
+    g[m, 0] = 0.5
+    g[m, m] = -0.5
+    return (g * scale).astype(np.float32)
+
+
+def can_use_rfft3d(nx: int, ny: int, nz: int,
+                   rad_x=None, rad_y=None, rad_z=None) -> bool:
+    """Gate for the packed 3-D fast path: M = Nz/2 must be a lane-tile
+    multiple (x-kernel blocks are (X, 8, 128)) and every axis 2-stage."""
+    m = nz // 2
+    return (nz % 2 == 0 and m % 128 == 0 and ny % 8 == 0
+            and _pick_2stage(m, rad_z) is not None
+            and _pick_2stage(ny, rad_y) is not None
+            and _pick_2stage(nx, rad_x) is not None
+            and ny * m <= _SLAB_VMEM_LIMIT
+            and can_use_padded_x(nx, ny, m, rad_x))
+
+
+def _rfft_slab_kernel(x_ref, g1m, g2m, twrm, twim, h_mat,
+                      g1y, g2y, twry, twiy, or_ref, oi_ref,
+                      *, rm: tuple, ry: tuple, precision: str):
+    tb, ny, n = x_ref.shape
+    m = n // 2
+    flat = x_ref[:].reshape(tb * ny, n)
+    xt = flat.T                                   # (N, TB*Y)
+    v3 = xt.reshape(m, 2, tb * ny)                # sublane split: even/odd
+    vrt = v3[:, 0, :]
+    vit = v3[:, 1, :]
+    vfr, vfi = _sublane_core(vrt, vit, g1m[:], g2m[:], twrm[:], twim[:],
+                             rm[0], rm[1], precision)      # V = fft_M(v)
+    # untangle + Nyquist packing = one folded dot (see _rfft_h_matrix)
+    xs = jnp.dot(h_mat[:], jnp.concatenate([vfr, vfi], axis=0),
+                 preferred_element_type=jnp.float32, precision=precision)
+    zr = xs[:m].T.reshape(tb, ny, m)
+    zi = xs[m:].T.reshape(tb, ny, m)
+    for t in range(tb):
+        yr, yi = _sublane_core(zr[t], zi[t], g1y[:], g2y[:], twry[:],
+                               twiy[:], ry[0], ry[1], precision)
+        or_ref[t] = yr
+        oi_ref[t] = yi
+
+
+def rfft_slab_yz(x: jax.Array, rad_y=None, rad_z=None,
+                 precision: str = DEFAULT_PRECISION, zpad: int = 0,
+                 block_rows: int = 0):
+    """Fused r2c(z) + fft(y) over real (..., Y, N) in ONE HBM pass: reads
+    real data (half the bytes of a planar pair), writes the packed
+    (..., Y, M(+zpad)) planar half-spectrum."""
+    ny, n = x.shape[-2], x.shape[-1]
+    m = n // 2
+    ry = _pick_2stage(ny, rad_y)
+    rm = _pick_2stage(m, rad_z)
+    if ry is None or rm is None or n % 2 != 0:
+        raise ValueError(f"rfft slab ({ny},{n}) not fusable")
+    lead = x.shape[:-2]
+    p = int(np.prod(lead)) if lead else 1
+    x3 = x.reshape(p, ny, n).astype(jnp.float32)
+    tm = _tables(m, rm[0], inverse=False)
+    ty_ = _tables(ny, ry[0], inverse=False)
+    consts = [jnp.asarray(v) for v in
+              (tm["g1"], tm["g2"], tm["twr"], tm["twi"], _rfft_h_matrix(n),
+               ty_["g1"], ty_["g2"], ty_["twr"], ty_["twi"])]
+    kernel = functools.partial(_rfft_slab_kernel, rm=rm, ry=ry,
+                               precision=precision)
+    tb = block_rows or max(2, min(8, (1 << 18) // max(ny * m, 1)))
+    while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * m * 4 > _VMEM_CAP:
+        tb //= 2
+    tb = min(tb, p)
+    while p % tb != 0:
+        tb -= 1
+    in_blk = pl.BlockSpec((tb, ny, n), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((tb, ny, m), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    const_spec = [pl.BlockSpec(c.shape, lambda i, c=c: (0,) * c.ndim,
+                               memory_space=pltpu.VMEM) for c in consts]
+    out3 = (p, ny, m + zpad)
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(p // tb,),
+        in_specs=[in_blk] + const_spec,
+        out_specs=(out_blk, out_blk),
+        out_shape=(jax.ShapeDtypeStruct(out3, jnp.float32),
+                   jax.ShapeDtypeStruct(out3, jnp.float32)),
+        interpret=_interpret(),
+        **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * m * 4),
+    )(x3, *consts)
+    out_trail = lead + (ny, m + zpad)
+    return yr.reshape(out_trail), yi.reshape(out_trail)
+
+
+def _plane0_split(yr, yi):
+    """Split the packed plane 0 (= fft_xy(X_0) + i*fft_xy(X_M)) into the
+    true k=0 and k=M planes via 2-D conjugate symmetry. Returns complex
+    (a, b) planes of shape (..., X, Y)."""
+    p = jax.lax.complex(yr[..., 0], yi[..., 0])     # (..., X, Y)
+    rev = jnp.conj(jnp.roll(jnp.flip(p, axis=(-2, -1)), shift=(1, 1),
+                            axis=(-2, -1)))          # conj(P[-kx, -ky])
+    a = 0.5 * (p + rev)                              # fft_xy(X_0)
+    b = -0.5j * (p - rev)                            # fft_xy(X_M)
+    return a, b
+
+
+def _asm_mp1_kernel(yr_ref, yi_ref, ar_ref, ai_ref, br_ref, bi_ref,
+                    or_ref, oi_ref):
+    m = yr_ref.shape[-1]
+    or_ref[:, :, :m] = yr_ref[:]
+    oi_ref[:, :, :m] = yi_ref[:]
+    or_ref[:, :, 0] = ar_ref[:]
+    oi_ref[:, :, 0] = ai_ref[:]
+    or_ref[:, :, m] = br_ref[:]
+    oi_ref[:, :, m] = bi_ref[:]
+
+
+def _assemble_mp1(yr, yi, a, b):
+    """(..., M) packed planar + the split 0/M planes -> numpy-layout
+    (..., M+1). A dedicated one-pass kernel: XLA's own concatenate /
+    dynamic-update-slice into a 129-lane (two-lane-tile) layout costs
+    ~0.85-1.4 ms at 256^3 on v5e; this kernel does it in ~0.35 ms."""
+    m = yr.shape[-1]
+    lead = yr.shape[:-2]
+    ny = yr.shape[-2]
+    rows = int(np.prod(lead)) if lead else 1
+    yr2 = yr.reshape(rows, ny, m)
+    yi2 = yi.reshape(rows, ny, m)
+    a2r = jnp.real(a).reshape(rows, ny)
+    a2i = jnp.imag(a).reshape(rows, ny)
+    b2r = jnp.real(b).reshape(rows, ny)
+    b2i = jnp.imag(b).reshape(rows, ny)
+    tx = max(1, min(16, (1 << 21) // max(ny * m, 1)))
+    while rows % tx != 0:
+        tx -= 1
+    blk_in = pl.BlockSpec((tx, ny, m), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    blk_pl = pl.BlockSpec((tx, ny), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    blk_out = pl.BlockSpec((tx, ny, m + 1), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_r, out_i = pl.pallas_call(
+        _asm_mp1_kernel,
+        grid=(rows // tx,),
+        in_specs=[blk_in, blk_in, blk_pl, blk_pl, blk_pl, blk_pl],
+        out_specs=(blk_out, blk_out),
+        out_shape=(jax.ShapeDtypeStruct((rows, ny, m + 1), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, ny, m + 1), jnp.float32)),
+        interpret=_interpret(),
+        **_vmem_params(10 * tx * ny * m * 4),
+    )(yr2, yi2, a2r, a2i, b2r, b2i)
+    return (out_r.reshape(lead + (ny, m + 1)),
+            out_i.reshape(lead + (ny, m + 1)))
+
+
+def unpack_rfft3d(yr, yi):
+    """Convert the packed half-spectrum (..., M) to numpy rfftn layout
+    (..., M+1) — the plane-0/Nyquist untangle + one assembly pass."""
+    a, b = _plane0_split(yr, yi)
+    return _assemble_mp1(yr, yi, a, b)
+
+
+def pack_rfft3d(yr, yi):
+    """Convert a numpy-layout half-spectrum (..., M+1) to the packed
+    (..., M) form (plane 0 := plane0 + i*planeM)."""
+    m = yr.shape[-1] - 1
+    pr = yr[..., :1] - yi[..., m:m + 1]
+    pi = yi[..., :1] + yr[..., m:m + 1]
+    return (jnp.concatenate([pr, yr[..., 1:m]], axis=-1),
+            jnp.concatenate([pi, yi[..., 1:m]], axis=-1))
+
+
+def rfft3d_planar(x: jax.Array, rad_z=None, rad_y=None, rad_x=None,
+                  precision: str = DEFAULT_PRECISION, slab_rows: int = 0,
+                  packed: bool = False):
+    """Full 3-D r2c on a real (..., X, Y, N) array.
+
+    Two HBM passes (fused r2c+y slab, pitched x kernel at M aligned
+    lanes). With ``packed=True`` returns the packed (..., M) half-spectrum
+    (plane 0 = plane0 + i*planeM) — the TPU-native format, measured 0.78 ms
+    at 256^3 on v5e (3.3x XLA rfftn); spectral pipelines that multiply in
+    frequency space and invert never need to unpack. Default returns the
+    numpy rfftn layout (..., M+1) via one extra assembly pass (~1.8 ms,
+    1.4x XLA). ``rad_z`` factors M = N//2."""
+    n = x.shape[-1]
+    m = n // 2
+    yr, yi = rfft_slab_yz(x, rad_y=rad_y, rad_z=rad_z, precision=precision,
+                          zpad=_STRIDE_PAD, block_rows=slab_rows)
+    yr, yi = fft_x_from_padded(yr, yi, m, radices=rad_x, precision=precision)
+    if packed:
+        return yr, yi
+    return unpack_rfft3d(yr, yi)
+
+
+def _crfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
+                       has_side: bool):
+    if has_side:
+        (xr_ref, xi_ref, sr_ref, si_ref, g1y, g2y, twry, twiy,
+         g1m, g2m, twrm, twim, g_mat, o_ref) = refs
+    else:
+        (xr_ref, xi_ref, g1y, g2y, twry, twiy,
+         g1m, g2m, twrm, twim, g_mat, o_ref) = refs
+    tb, ny, m = xr_ref.shape
+    n = 2 * m
+    if has_side:
+        # inject the separately x-transformed Nyquist plane into plane 0
+        # (pack = plane0 + i*sideM; packing commutes with the y inverse)
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (1, m), 1) == 0
+                ).astype(jnp.float32)
+    # inverse y per row (packed plane 0 rides along: complex-linear)
+    rows_r, rows_i = [], []
+    for t in range(tb):
+        xr_t = xr_ref[t]
+        xi_t = xi_ref[t]
+        if has_side:
+            sr = sr_ref[t].T                      # (ny, 1)
+            si = si_ref[t].T
+            xr_t = xr_t + (-si) * mask
+            xi_t = xi_t + sr * mask
+        yr, yi = _sublane_core(xr_t, xi_t, g1y[:], g2y[:],
+                               twry[:], twiy[:], ry[0], ry[1], precision)
+        rows_r.append(yr)
+        rows_i.append(yi)
+    zr = jnp.stack(rows_r, axis=0).reshape(tb * ny, m).T   # (M, TB*Y)
+    zi = jnp.stack(rows_i, axis=0).reshape(tb * ny, m).T
+    # re-tangle (+ packed-plane unpack + normalization) = one folded dot
+    vs = jnp.dot(g_mat[:], jnp.concatenate([zr, zi], axis=0),
+                 preferred_element_type=jnp.float32, precision=precision)
+    vr, vi = _sublane_core(vs[:m], vs[m:], g1m[:], g2m[:], twrm[:],
+                           twim[:], rm[0], rm[1], precision)  # v = idft(V)
+    # interleave: x[2j] = Re v, x[2j+1] = Im v (sublane-preserving reshape)
+    out = jnp.stack([vr, vi], axis=1).reshape(n, tb * ny)
+    o_ref[:] = out.T.reshape(tb, ny, n)
+
+
+def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
+                  rad_z=None, precision: str = DEFAULT_PRECISION,
+                  scale: float = 1.0, block_rows: int = 0,
+                  side_r=None, side_i=None):
+    """Fused ifft(y) + c2r(z) over packed planar (..., Y, M(+pad)) in ONE
+    HBM pass; writes the real (..., Y, N) result. Input pad lanes beyond M
+    are skipped by partial block coverage (pitched reads).
+
+    ``scale`` multiplies the alpha/beta tables AND the row-0 correction;
+    the exact-recovery value is 1/(upstream unscaled factor x M) — e.g.
+    1/(Nx*Ny*M) after unscaled inverse x and y passes (the ifft_M's own
+    1/M is included there)."""
+    m = n // 2
+    ny = xr.shape[-2]
+    ry = _pick_2stage(ny, rad_y)
+    rm = _pick_2stage(m, rad_z)
+    if ry is None or rm is None:
+        raise ValueError(f"c2r slab ({ny},{n}) not fusable")
+    lead = xr.shape[:-2]
+    p = int(np.prod(lead)) if lead else 1
+    in3 = (p, ny, xr.shape[-1])
+    xr3 = xr.reshape(in3)
+    xi3 = xi.reshape(in3)
+    ty_ = _tables(ny, ry[0], inverse=True)
+    tm = _tables(m, rm[0], inverse=True)
+    # the unscaled inverse core computes a plain sum (no 1/M); the G
+    # matrix carries the whole requested scale
+    has_side = side_r is not None
+    consts = [jnp.asarray(v) for v in
+              (ty_["g1"], ty_["g2"], ty_["twr"], ty_["twi"],
+               tm["g1"], tm["g2"], tm["twr"], tm["twi"],
+               _crfft_g_matrix(n, float(scale)))]
+    kernel = functools.partial(_crfft_slab_kernel, rm=rm, ry=ry,
+                               precision=precision, has_side=has_side)
+    tb = block_rows or max(2, min(8, (1 << 18) // max(ny * m, 1)))
+    while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * n * 4 > _VMEM_CAP:
+        tb //= 2
+    tb = min(tb, p)
+    while p % tb != 0:
+        tb -= 1
+    in_blk = pl.BlockSpec((tb, ny, m), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((tb, ny, n), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    const_spec = [pl.BlockSpec(c.shape, lambda i, c=c: (0,) * c.ndim,
+                               memory_space=pltpu.VMEM) for c in consts]
+    args = [xr3, xi3]
+    in_specs = [in_blk, in_blk]
+    if has_side:
+        side_blk = pl.BlockSpec((tb, 1, ny), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        args += [side_r.reshape(p, 1, ny), side_i.reshape(p, 1, ny)]
+        in_specs += [side_blk, side_blk]
+    out = pl.pallas_call(
+        kernel,
+        grid=(p // tb,),
+        in_specs=in_specs + const_spec,
+        out_specs=out_blk,
+        out_shape=jax.ShapeDtypeStruct((p, ny, n), jnp.float32),
+        interpret=_interpret(),
+        **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * n * 4),
+    )(*args, *consts)
+    return out.reshape(lead + (ny, n))
+
+
+def irfft3d_planar(xr: jax.Array, xi: jax.Array, nz: int = 0,
+                   rad_z=None, rad_y=None, rad_x=None,
+                   precision: str = DEFAULT_PRECISION, slab_rows: int = 0,
+                   packed: bool = False):
+    """Full 3-D c2r on planar half-spectra -> real (..., X, Y, N).
+
+    Accepts either the numpy layout (..., M+1) or, with ``packed=True``,
+    the packed (..., M) form produced by ``rfft3d_planar(packed=True)``.
+    Mirror of the forward: inverse x (writing the stride-broken padded
+    intermediate), fused inverse-y + c2r slab. For numpy-layout input the
+    Nyquist plane takes a cheap side path (its own small x-inverse,
+    injected into plane 0 inside the slab kernel) so the main pipeline
+    never touches the misaligned M+1-lane layout."""
+    lanes = xr.shape[-1]
+    m = lanes if packed else lanes - 1
+    n = nz or 2 * m
+    nx_, ny = xr.shape[-3], xr.shape[-2]
+    side_r = side_i = None
+    if not packed:
+        # Nyquist side path: unscaled x-inverse of the (.., X, Y) plane M
+        side_r, side_i = fft_1d_planar(
+            xr[..., m], xi[..., m], axis=-2, inverse=True, radices=rad_x,
+            scale=False, precision=precision)
+    xr, xi = fft_x_to_padded(xr, xi, zpad=_STRIDE_PAD, inverse=True,
+                             radices=rad_x, precision=precision,
+                             z_true=0 if packed else m)
+    return irfft_slab_yz(xr, xi, n, rad_y=rad_y, rad_z=rad_z,
+                         precision=precision,
+                         scale=1.0 / (nx_ * ny * m), block_rows=slab_rows,
+                         side_r=side_r, side_i=side_i)

@@ -308,7 +308,8 @@ def _jit_plan_fn(spec: ProblemSpec, raw_fn, in_shard, out_shard, planar: bool):
 
 
 def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
-              planar: bool = False, out_scale: float = 1.0):
+              planar: bool = False, out_scale: float = 1.0,
+              packed: bool = False):
     def _scaled(fn_inner):
         if out_scale == 1.0:
             return fn_inner
@@ -319,6 +320,30 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                 return tuple(o * out_scale for o in y)
             return y * out_scale
         return wrapped
+
+    # planar-native r2c/c2r fast path: packed-Nyquist kernels keep the
+    # frequency axis at exactly Nz/2 aligned lanes (a 129-lane axis
+    # physically occupies two 128-lane tiles -> ~2x traffic everywhere)
+    if (planar and mesh is None and spec.real and params.use_pallas
+            and spec.dtype == "complex64"):
+        from ..kernels import pallas_fft as pf
+
+        nx, ny, nz = spec.shape
+        if pf.can_use_rfft3d(nx, ny, nz, params.radix_x, params.radix_y,
+                             params.radix_z):
+            if not spec.inverse:
+                def fwd(x):
+                    return pf.rfft3d_planar(
+                        x, rad_z=params.radix_z, rad_y=params.radix_y,
+                        rad_x=params.radix_x, precision=params.precision,
+                        slab_rows=params.slab_rows, packed=packed)
+                return jax.jit(_scaled(fwd)), False
+            def inv(re, im):
+                return pf.irfft3d_planar(
+                    re, im, nz, rad_z=params.radix_z, rad_y=params.radix_y,
+                    rad_x=params.radix_x, precision=params.precision,
+                    slab_rows=params.slab_rows, packed=packed)
+            return jax.jit(_scaled(inv)), True
 
     # planar-native fast path: local c2c with fused kernels never touches a
     # complex dtype at all (zero conversion passes)
@@ -368,6 +393,7 @@ def plan(
     planar: bool = False,
     norm: Optional[str] = None,
     batch_sharded: bool = False,
+    packed: bool = False,
 ) -> Plan:
     """Build a 3-D FFT plan. ``shape`` is the spatial (Nx, Ny, Nz).
 
@@ -375,11 +401,20 @@ def plan(
     as (real, imag) float pairs — required on TPU runtimes that cannot
     transfer complex arrays, and zero-cost otherwise (the split/combine is
     fused by XLA). ``norm`` follows numpy (backward | ortho | forward).
+
+    ``packed=True`` (real transforms, single device) uses the TPU-native
+    packed half-spectrum layout: (..., Nz/2) planar with plane 0 carrying
+    plane0 + i*planeM — exactly 128-lane-aligned, ~2.3x faster than the
+    numpy (..., Nz/2+1) layout on v5e. Convert with
+    ``offt_tpu.kernels.pallas_fft.unpack_rfft3d / pack_rfft3d``.
     """
     if len(shape) != 3:
         raise ValueError(f"shape must be (Nx, Ny, Nz), got {shape}")
     if batch_sharded and (mesh is None or batch_dims < 1):
         raise ValueError("batch_sharded needs a mesh and batch_dims >= 1")
+    if packed and (not real or mesh is not None or not planar):
+        raise ValueError("packed layout requires real=True, planar=True "
+                         "and a single device (mesh=None)")
     p = 1 if mesh is None else mesh.devices.size
     spec = ProblemSpec(shape=tuple(shape), dtype=str(jnp.dtype(dtype)),
                        real=real, inverse=inverse, p=p,
@@ -402,8 +437,14 @@ def plan(
         raise ValueError(f"infeasible plan: {reason}")
     ndim = batch_dims + 3
     scale = _norm_scale(norm, inverse, shape[0] * shape[1] * shape[2])
+    if packed:
+        from ..kernels import pallas_fft as pf
+        if not (params.use_pallas and pf.can_use_rfft3d(
+                *shape, params.radix_x, params.radix_y, params.radix_z)):
+            raise ValueError("packed layout needs the Pallas r2c fast path "
+                             f"(shape {shape} not eligible)")
     fn, in_planar = _build_fn(spec, params, mesh, ndim, planar=planar,
-                              out_scale=scale)
+                              out_scale=scale, packed=packed)
     return Plan(spec=spec, params=params, mesh=mesh, ndim=ndim, _fn=fn,
                 planar=planar, _in_planar=in_planar)
 

@@ -114,3 +114,67 @@ def test_padded_x_roundtrip():
     br, bi = pf.fft3d_planar(np.asarray(fr), np.asarray(fi), inverse=True)
     rt = np.asarray(br) + 1j * np.asarray(bi)
     assert rel_err(rt, x) < 1e-5
+
+
+def test_rfft3d_packed_fast_path():
+    """Packed-Nyquist 3-D r2c: internal frequency axis = exactly M lanes
+    (the 129-lane numpy layout costs ~2x traffic on TPU tiled storage)."""
+    shape = (8, 16, 256)
+    x = np.random.default_rng(3).standard_normal(shape).astype(np.float32)
+    want = np.fft.rfftn(x.astype(np.float64))
+    # numpy layout
+    yr, yi = pf.rfft3d_planar(x)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert got.shape == want.shape
+    assert rel_err(got, want) < 1e-5
+    # packed layout + unpack converter
+    pr, pi_ = pf.rfft3d_planar(x, packed=True)
+    assert pr.shape[-1] == 128
+    ur, ui = pf.unpack_rfft3d(pr, pi_)
+    assert rel_err(np.asarray(ur) + 1j * np.asarray(ui), want) < 1e-5
+    # pack converter inverts unpack
+    rr, ri = pf.pack_rfft3d(ur, ui)
+    assert rel_err(np.asarray(rr), np.asarray(pr)) < 1e-5
+
+
+def test_irfft3d_both_layouts():
+    shape = (8, 16, 256)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(shape).astype(np.float32)
+    yr, yi = pf.rfft3d_planar(x)
+    back = pf.irfft3d_planar(yr, yi, shape[-1])
+    assert rel_err(np.asarray(back), x) < 1e-5
+    pr, pi_ = pf.rfft3d_planar(x, packed=True)
+    backp = pf.irfft3d_planar(pr, pi_, shape[-1], packed=True)
+    assert rel_err(np.asarray(backp), x) < 1e-5
+    # c2r against numpy on an arbitrary hermitian spectrum
+    w = np.fft.rfftn(rng.standard_normal(shape))
+    br = pf.irfft3d_planar(w.real.astype(np.float32),
+                           w.imag.astype(np.float32), shape[-1])
+    want = np.fft.irfftn(w, s=shape, axes=(0, 1, 2))
+    assert rel_err(np.asarray(br), want) < 1e-5
+
+
+def test_plan_packed_rfft():
+    import offt_tpu
+
+    shape = (8, 16, 256)
+    x = np.random.default_rng(5).standard_normal(shape).astype(np.float32)
+    from offt_tpu.plan.params import PlanParams
+    params = PlanParams(use_pallas=1)
+    p = offt_tpu.plan(shape, "complex64", real=True, planar=True,
+                      packed=True, params=params, use_cache=False)
+    pr, pi_ = p(x)
+    assert pr.shape == shape[:-1] + (128,)
+    pinv = offt_tpu.plan(shape, "complex64", real=True, inverse=True,
+                         planar=True, packed=True, params=params,
+                         use_cache=False)
+    back = pinv((pr, pi_))
+    assert rel_err(np.asarray(back), x) < 1e-5
+    # packed demands eligibility
+    with pytest.raises(ValueError):
+        offt_tpu.plan((7, 7, 7), "complex64", real=True, planar=True,
+                      packed=True, use_cache=False)
+    with pytest.raises(ValueError):
+        offt_tpu.plan(shape, "complex64", real=True, packed=True,
+                      use_cache=False)  # planar required
