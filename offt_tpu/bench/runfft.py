@@ -154,9 +154,14 @@ def main(argv=None):
         t = _bench_chained(fn, args, ns.reps)
         if ns.verify:
             _verify(p, shape, ns)
-        if ns.breakdown and mesh is None and not ns.r2c and not ns.batch:
-            from offt_tpu.obs.profile import fft3d_breakdown
-            bd = fft3d_breakdown(shape, params=params)
+        if ns.breakdown and not ns.r2c and not ns.batch:
+            if mesh is None:
+                from offt_tpu.obs.profile import fft3d_breakdown
+                bd = fft3d_breakdown(shape, params=params)
+            else:
+                # per-phase split on the mesh (offt.h:171-188 parity)
+                from offt_tpu.obs.profile import pencil_breakdown
+                bd = pencil_breakdown(shape, mesh, params=params)
             for k, v in bd.items():
                 print(f"# {k}: {v * 1e3:.3f} ms", file=sys.stderr)
     else:  # xla

@@ -19,9 +19,12 @@ import numpy as np
 
 
 def time_fn(fn: Callable, args: tuple, k_small: int = 2, k_large: int = 12,
-            tries: int = 2) -> float:
+            tries: int = 2, feedback: bool = True) -> float:
     """Per-iteration seconds for fn(*args); output fed back when shapes
-    match (forces serialization), else same inputs re-issued."""
+    match (forces serialization), else same inputs re-issued.
+    ``feedback=False`` always re-issues — required when outputs carry a
+    different sharding than the inputs (feeding them back would insert a
+    resharding collective, or error on pinned in_shardings)."""
     import jax
 
     def chain(k):
@@ -29,12 +32,13 @@ def time_fn(fn: Callable, args: tuple, k_small: int = 2, k_large: int = 12,
         t0 = time.perf_counter()
         for _ in range(k):
             res = fn(*out)
-            out = res if isinstance(res, tuple) else (res,)
-            if len(out) != len(args) or any(
-                    o.shape != a.shape or o.dtype != a.dtype
-                    for o, a in zip(out, args)):
-                out = args
-        leaf = out[0]
+            res_t = res if isinstance(res, tuple) else (res,)
+            out = args
+            if feedback and len(res_t) == len(args) and all(
+                    o.shape == a.shape and o.dtype == a.dtype
+                    for o, a in zip(res_t, args)):
+                out = res_t
+        leaf = (res if isinstance(res, tuple) else (res,))[0]
         _ = float(leaf[(0,) * leaf.ndim])  # single-element readback
         return time.perf_counter() - t0
 
@@ -89,4 +93,84 @@ def fft3d_breakdown(shape, params=None, dtype="complex64",
     if stages:
         out["stage_sum"] = sum(stages)
         out["fusion_gain"] = out["stage_sum"] - out["total_fused"]
+    return out
+
+
+def pencil_breakdown(shape, mesh, params=None,
+                     dtype="complex64") -> dict[str, float]:
+    """Distributed per-phase breakdown (seconds) on a (p1, p2) mesh.
+
+    The reference brackets 17 timer slots inside one execution
+    (offt.h:171-188: FFTz/PACK1/WAIT1/UNPACK1/FFTy/... per phase). Under
+    GSPMD one fused program is not internally bracketable, so each stage
+    is a separately-jitted shard_map'd sub-program over the SAME shardings
+    the real pipeline uses:
+
+      fft_z -> exchange_1 (z<->y all_to_all over COL) -> fft_y ->
+      exchange_2 (y<->x over ROW) -> fft_x
+
+    ``stage_sum - total_fused`` is the measured fusion/overlap win — the
+    TPU equivalent of the overlap the reference's W-window buys
+    (offt-compute.c:3614-3647). Requires mesh-divisible extents."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import offt_tpu
+    from ..dist.mesh import COL, ROW, mesh_shape
+    from ..dist.pencil import _transpose, axis_fft
+    from ..plan.params import ProblemSpec, default_params
+
+    nx, ny, nz = shape
+    p1, p2 = mesh_shape(mesh)
+    if nx % p1 or ny % p2 or ny % p1 or nz % p2:
+        raise ValueError(f"breakdown needs mesh-divisible extents, "
+                         f"got {shape} on {p1}x{p2}")
+    if params is None:
+        params = default_params(
+            ProblemSpec(shape=tuple(shape), dtype=dtype, p=p1 * p2), p1=p1)
+
+    rng = np.random.default_rng(0)
+    spec_in = P(ROW, COL, None)       # z-pencils
+    spec_mid = P(ROW, None, COL)      # y-pencils
+    spec_out = P(None, ROW, COL)      # x-pencils (transposed out)
+
+    def planar_sm(local_fn, in_spec, out_spec):
+        def planar(r, i):
+            c = local_fn(jax.lax.complex(r, i))
+            return jnp.real(c), jnp.imag(c)
+        sm = jax.shard_map(planar, mesh=mesh, in_specs=(in_spec, in_spec),
+                           out_specs=(out_spec, out_spec), check_vma=False)
+        return jax.jit(sm)
+
+    def args_for(sspec):
+        sh = NamedSharding(mesh, sspec)
+        re = jax.device_put(rng.standard_normal(shape).astype(np.float32), sh)
+        im = jax.device_put(rng.standard_normal(shape).astype(np.float32), sh)
+        return re, im
+
+    stages = {
+        "fft_z": (lambda c: axis_fft(c, 2, False, params.radix_z, params),
+                  spec_in, spec_in),
+        "exchange_1": (lambda c: _transpose(c, COL, 2, 1, p2, params.s1,
+                                            params.v & 1),
+                       spec_in, spec_mid),
+        "fft_y": (lambda c: axis_fft(c, 1, False, params.radix_y, params),
+                  spec_mid, spec_mid),
+        "exchange_2": (lambda c: _transpose(c, ROW, 1, 0, p1, params.s2,
+                                            (params.v >> 1) & 1),
+                       spec_mid, spec_out),
+        "fft_x": (lambda c: axis_fft(c, 0, False, params.radix_x, params),
+                  spec_out, spec_out),
+    }
+    out: dict[str, float] = {}
+    for name, (fn, si, so) in stages.items():
+        out[name] = time_fn(planar_sm(fn, si, so), args_for(si),
+                            feedback=False)
+    plan = offt_tpu.plan(shape, dtype, mesh=mesh, params=params, planar=True)
+    out["total_fused"] = time_fn(plan._fn, args_for(spec_in),
+                                 feedback=False)
+    out["stage_sum"] = sum(v for k, v in out.items()
+                           if k != "total_fused")
+    out["overlap_gain"] = out["stage_sum"] - out["total_fused"]
     return out

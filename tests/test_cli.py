@@ -97,3 +97,11 @@ def test_offt_tune_method_user():
     assert out.returncode == 0, out.stderr[-500:]
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["best"] is not None and rec["perf"] > 0
+
+
+def test_runfft_mesh_breakdown():
+    out = run_cli(["bench", "-N", "16", "-a", "offt", "--p1", "2",
+                   "--p2", "4", "-r", "1", "--breakdown"], timeout=240)
+    assert out.returncode == 0, out.stderr[-800:]
+    for key in ("exchange_1", "exchange_2", "overlap_gain"):
+        assert key in out.stderr

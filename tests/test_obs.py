@@ -79,3 +79,22 @@ def test_view_summarize(tmp_path):
     assert s["best"][0]["point"] == [1, 1]
     assert main([str(p)]) == 0
     assert main([str(p), "--json"]) == 0
+
+
+def test_pencil_breakdown_mesh():
+    """Distributed per-phase split (offt.h:171-188 parity): five stage
+    timings + the measured overlap/fusion gain on the 8-device mesh."""
+    from offt_tpu.dist import make_mesh
+    from offt_tpu.obs.profile import pencil_breakdown
+
+    bd = pencil_breakdown((16, 16, 16), make_mesh(2, 4))
+    for key in ("fft_z", "exchange_1", "fft_y", "exchange_2", "fft_x",
+                "total_fused", "stage_sum", "overlap_gain"):
+        assert key in bd
+    assert all(v > 0 for k, v in bd.items() if k != "overlap_gain")
+    assert abs(bd["stage_sum"] - bd["overlap_gain"]
+               - bd["total_fused"]) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError):
+        pencil_breakdown((15, 16, 16), make_mesh(2, 4))  # not divisible
