@@ -43,6 +43,11 @@ def _parse_args(argv=None):
     p.add_argument("-s", "--strategy", default="nm",
                    help="tuning strategy: nm|pro|random|brute")
     p.add_argument("-l", "--max-trials", type=int, default=30)
+    p.add_argument("-A", "--fast-trial", type=int, default=0,
+                   help="FAST_TUNING extrapolation window: time only the "
+                        "first K pipeline chunks per phase during search "
+                        "(run-fft.c -A parity); finalists re-measured "
+                        "exactly")
     p.add_argument("--log", default="", help="JSONL trial/event log path")
     # per-parameter overrides (reference run-fft.c:207-230 one flag per knob)
     for knob in ("t1", "t2", "w1", "w2", "ry", "s1", "s2", "v"):
@@ -128,7 +133,8 @@ def main(argv=None):
         from offt_tpu.tune import tune
         res = tune(shape[-3:], "complex64", mesh=mesh, real=ns.r2c,
                    strategy=ns.strategy, max_trials=ns.max_trials,
-                   log_path=ns.log or None)
+                   log_path=ns.log or None, inverse=ns.inverse,
+                   fast_trial=ns.fast_trial)
         params = res.best_params
         print(f"# tuned: best={params} perf={res.best_perf * 1e3:.3f} ms "
               f"default={res.default_perf * 1e3:.3f} ms "

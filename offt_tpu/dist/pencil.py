@@ -161,38 +161,58 @@ def pencil_pipeline(
     - mid_pad:   pad a_mid to this before the phase-2 exchange
     - last_true: slice a_last to this before do_last
     """
-    def _pad_to(c, axis, target):
-        cur = c.shape[axis]
-        if not target or cur >= target:
-            return c
-        padw = [(0, 0)] * c.ndim
-        padw[axis] = (0, target - cur)
-        return jnp.pad(c, padw)
-
-    def _slice_to(c, axis, target):
-        if not target or c.shape[axis] <= target:
-            return c
-        return lax.slice_in_dim(c, 0, target, axis=axis)
-
     do_first = first_fn or (lambda c: axis_fft(c, a_first, inverse,
                                                rad_first, params))
     do_last = last_fn or (lambda c: axis_fft(c, a_last, inverse,
                                              rad_last, params))
     do_mid = lambda c: axis_fft(c, a_mid, inverse, rad_mid, params)
 
-    # ---- phase 1: chunk along a_last; fft(a_first) + exchange a_first<->a_mid
-    # The window knob w bounds concurrently-live chunks (reference W1/W2,
-    # offt.h:78-79): chunk i's input is tied to chunk i-w's finished
-    # exchange with an optimization_barrier, so XLA's async scheduler keeps
-    # at most w chunk collectives in flight. w=0 leaves scheduling entirely
-    # to XLA (no bound; the reference's w=0-blocking maps to our w=1).
-    def _window_tie(c, outputs, w, i, t_active):
-        if 0 < w <= i and w < t_active:
-            c, _ = lax.optimization_barrier((c, outputs[i - w]))
-        return c
+    mid, rx, n_rows = _phase1(
+        xl, do_first=do_first, do_mid=do_mid, a_first=a_first, a_mid=a_mid,
+        a_last=a_last, name1=name1, size1=size1, params=params,
+        pad_first=pad_first, mid_true=mid_true)
+    return _phase2(
+        mid, do_mid=do_mid, do_last=do_last, a_first=a_first, a_mid=a_mid,
+        a_last=a_last, name2=name2, size2=size2, params=params,
+        mid_pad=mid_pad, last_true=last_true, rx=rx, n_rows=n_rows)
 
+
+def _window_tie(c, outputs, w, i, t_active):
+    """The window knob w bounds concurrently-live chunks (reference W1/W2,
+    offt.h:78-79): chunk i's input is tied to chunk i-w's finished exchange
+    with an optimization_barrier, so XLA's async scheduler keeps at most w
+    chunk collectives in flight. w=0 leaves scheduling entirely to XLA
+    (no bound; the reference's w=0-blocking maps to our w=1)."""
+    if 0 < w <= i and w < t_active:
+        c, _ = lax.optimization_barrier((c, outputs[i - w]))
+    return c
+
+
+def _pad_to(c, axis, target):
+    cur = c.shape[axis]
+    if not target or cur >= target:
+        return c
+    padw = [(0, 0)] * c.ndim
+    padw[axis] = (0, target - cur)
+    return jnp.pad(c, padw)
+
+
+def _slice_to(c, axis, target):
+    if not target or c.shape[axis] <= target:
+        return c
+    return lax.slice_in_dim(c, 0, target, axis=axis)
+
+
+def _phase1(xl, *, do_first, do_mid, a_first, a_mid, a_last, name1, size1,
+            params, pad_first, mid_true, max_chunks: int = 0):
+    """Chunk along a_last; fft(a_first) + exchange a_first<->a_mid per
+    chunk; then the ry head-fraction of the mid-axis transform.
+    ``max_chunks`` > 0 truncates to the first k chunks (FAST_TUNING trial,
+    offt-compute.c:3538-3548) — output covers only those rows."""
     n_last_local = xl.shape[a_last]
     bounds1 = _chunk_bounds(n_last_local, params.t1)
+    if max_chunks:
+        bounds1 = bounds1[:max_chunks]
     phase1_chunks = []
     for i, (lo, hi) in enumerate(bounds1):
         c = lax.slice_in_dim(xl, lo, hi, axis=a_last)
@@ -207,7 +227,7 @@ def pencil_pipeline(
         else phase1_chunks[0]
     mid = _slice_to(mid, a_mid, mid_true)
 
-    # ---- mid-axis transform split between phases (reference Ry, offt.h:94):
+    # mid-axis transform split between phases (reference Ry, offt.h:94):
     # first ry/10 of the a_last rows get their mid-axis fft "in phase 1".
     n_rows = mid.shape[a_last]
     rx = (n_rows * params.ry + 9) // 10 if params.ry < 10 else n_rows
@@ -219,11 +239,17 @@ def pencil_pipeline(
             mid = jnp.concatenate([head, tail], axis=a_last)
         else:
             mid = head
+    return mid, rx, n_rows
 
-    # ---- phase 2: chunk along a_first; finish fft(a_mid) on pending rows,
-    # exchange a_mid<->a_last, fft(a_last)
+
+def _phase2(mid, *, do_mid, do_last, a_first, a_mid, a_last, name2, size2,
+            params, mid_pad, last_true, rx, n_rows, max_chunks: int = 0):
+    """Chunk along a_first; finish fft(a_mid) on pending rows, exchange
+    a_mid<->a_last, fft(a_last). ``max_chunks`` truncates (trial mode)."""
     n_first_local = mid.shape[a_first]
     bounds2 = _chunk_bounds(n_first_local, params.t2)
+    if max_chunks:
+        bounds2 = bounds2[:max_chunks]
     out_chunks = []
     for i, (lo, hi) in enumerate(bounds2):
         c = lax.slice_in_dim(mid, lo, hi, axis=a_first)
@@ -309,3 +335,87 @@ def make_pencil_fft3d(
 
     return jax.shard_map(local_fn, mesh=mesh, in_specs=in_spec,
                          out_specs=out_spec, check_vma=False)
+
+
+def make_phase_trials(
+    mesh,
+    ndim: int,
+    params: PlanParams,
+    shape: tuple[int, int, int],
+    inverse: bool = False,
+    rad_z=None,
+    rad_y=None,
+    rad_x=None,
+    k: int = 2,
+):
+    """FAST_TUNING trial programs (offt-compute.c:3538-3548, driver -A
+    run-fft.c:219): two shard_map'd sub-programs that execute only the
+    FIRST min(k, t) chunks of each pipeline phase, plus per-phase
+    extrapolation weights t/k. The tuner times trial1 + trial2 and
+    estimates the full transform as w1*t_trial1 + w2*t_trial2 — trial cost
+    drops ~t/k while preserving the per-chunk cost structure (the outputs
+    are numerically meaningless; only wall time matters).
+
+    Returns ((fn1, in_spec1, in_shape1, w1), (fn2, in_spec2, in_shape2, w2))
+    with global input shapes/specs for synthesizing trial operands.
+    c2c only (the r2c first/last overrides share the same chunk loops).
+    """
+    p1, p2 = mesh_shape(mesh)
+    nx, ny, nz = shape
+    ax, ay, az = _spatial_axes(ndim)
+    batch = (None,) * (ndim - 3)
+    if not inverse:
+        a_first, a_mid, a_last = az, ay, ax
+        name1, size1, name2, size2 = COL, p2, ROW, p1
+        pad_first, mid_true = _ceil_to(nz, p2), ny
+        mid_pad, last_true = _ceil_to(ny, p1), nx
+        rad_first, rad_mid, rad_last = rad_z, rad_y, rad_x
+        in_spec = P(*batch, ROW, COL, None)
+        mid_spec = P(*batch, ROW, None, COL)
+        out_spec = P(*batch, None, ROW, COL)
+        in_shape = (_ceil_to(nx, p1), _ceil_to(ny, p2), nz)
+        mid_shape = (_ceil_to(nx, p1), ny, pad_first)
+    else:
+        a_first, a_mid, a_last = ax, ay, az
+        name1, size1, name2, size2 = ROW, p1, COL, p2
+        pad_first, mid_true = _ceil_to(nx, p1), ny
+        mid_pad, last_true = _ceil_to(ny, p2), nz
+        rad_first, rad_mid, rad_last = rad_x, rad_y, rad_z
+        in_spec = P(*batch, None, ROW, COL)
+        mid_spec = P(*batch, ROW, None, COL)
+        out_spec = P(*batch, ROW, COL, None)
+        in_shape = (nx, _ceil_to(ny, p1), _ceil_to(nz, p2))
+        mid_shape = (pad_first, ny, _ceil_to(nz, p2))
+    lead = (1,) * (ndim - 3)
+    in_shape = lead + in_shape
+    mid_shape = lead + mid_shape
+
+    k1 = max(1, min(k, params.t1))
+    k2 = max(1, min(k, params.t2))
+    do_first = lambda c: axis_fft(c, a_first, inverse, rad_first, params)
+    do_mid = lambda c: axis_fft(c, a_mid, inverse, rad_mid, params)
+    do_last = lambda c: axis_fft(c, a_last, inverse, rad_last, params)
+
+    def local1(xl):
+        mid, _, _ = _phase1(
+            xl, do_first=do_first, do_mid=do_mid, a_first=a_first,
+            a_mid=a_mid, a_last=a_last, name1=name1, size1=size1,
+            params=params, pad_first=pad_first, mid_true=mid_true,
+            max_chunks=k1)
+        return mid
+
+    def local2(ml):
+        n_rows = ml.shape[a_last]
+        rx = (n_rows * params.ry + 9) // 10 if params.ry < 10 else n_rows
+        return _phase2(
+            ml, do_mid=do_mid, do_last=do_last, a_first=a_first,
+            a_mid=a_mid, a_last=a_last, name2=name2, size2=size2,
+            params=params, mid_pad=mid_pad, last_true=last_true,
+            rx=rx, n_rows=n_rows, max_chunks=k2)
+
+    fn1 = jax.shard_map(local1, mesh=mesh, in_specs=in_spec,
+                        out_specs=mid_spec, check_vma=False)
+    fn2 = jax.shard_map(local2, mesh=mesh, in_specs=mid_spec,
+                        out_specs=out_spec, check_vma=False)
+    return ((fn1, in_spec, in_shape, params.t1 / k1),
+            (fn2, mid_spec, mid_shape, params.t2 / k2))

@@ -296,11 +296,19 @@ def tune(
     log_path: Optional[str] = None,
     save: bool = True,
     include_radix: bool = True,
+    fast_trial: int = 0,
 ) -> TuneResult:
     """Auto-tune a 3-D FFT plan for (shape, dtype, mesh); returns the best
     PlanParams and writes them to the persistent plan cache. Forward and
     inverse transforms are tuned (and cached) separately — their pipelines
-    chunk different axes per phase."""
+    chunk different axes per phase.
+
+    ``fast_trial=k`` (distributed c2c only) enables FAST_TUNING-style
+    trials (offt-compute.c:3538-3548, driver -A): each candidate is timed
+    on truncated per-phase programs executing only the first k pipeline
+    chunks, extrapolated by t/k — trial cost drops ~t/k at large shapes.
+    The top-3 finalists are always re-measured exactly before a winner is
+    declared (the refinement pass)."""
     import jax
     import jax.numpy as jnp
 
@@ -391,15 +399,69 @@ def tune(
         # window): coarse timing during the search, precise re-measurement
         # of the top candidates afterwards (see refinement below)
         handle_by_params: dict = {}
-        _orig_compile = compile_fn
+        _exact_compile = compile_fn
 
-        def compile_fn(params: PlanParams):
-            h = _orig_compile(params)
-            handle_by_params[params] = h
-            return h
+        use_trial = bool(fast_trial) and mesh is not None and not real
+        if use_trial:
+            import jax.numpy as _jnp
+            from jax.sharding import NamedSharding
 
-        def measure_fn(compiled) -> float:
-            return _measure(compiled, k_large=5, tries=2)
+            from ..dist.pencil import make_phase_trials
+
+            def _trial_compile(params: PlanParams):
+                trials = make_phase_trials(
+                    mesh, 3, params, tuple(shape), inverse=inverse,
+                    rad_z=params.radix_z, rad_y=params.radix_y,
+                    rad_x=params.radix_x, k=int(fast_trial))
+                out = []
+                trng = np.random.default_rng(1)  # thread-local (batch compiles)
+                for fn, sspec, shp, w in trials:
+                    def planar(r, i, _fn=fn):
+                        c = _fn(_jax.lax.complex(r, i))
+                        return _jnp.real(c), _jnp.imag(c)
+                    sh = NamedSharding(mesh, sspec)
+                    tr = _jax.device_put(
+                        trng.standard_normal(shp).astype(np.float32), sh)
+                    ti = _jax.device_put(
+                        trng.standard_normal(shp).astype(np.float32), sh)
+                    tav = (_jax.ShapeDtypeStruct(tr.shape, tr.dtype),) * 2
+                    compiled = _jax.jit(
+                        planar, in_shardings=(sh, sh)).lower(*tav).compile()
+                    out.append((compiled, (tr, ti), w))
+                return tuple(out)
+
+            def _measure_args(compiled, args, k_large: int,
+                              tries: int) -> float:
+                def chain(k):
+                    t0 = time.perf_counter()
+                    res = None
+                    for _ in range(k):
+                        res = compiled(*args)
+                    leaf = res[0] if isinstance(res, tuple) else res
+                    _ = float(leaf[(0,) * leaf.ndim])
+                    return time.perf_counter() - t0
+
+                chain(1)
+                t_s = min(chain(1) for _ in range(tries))
+                t_l = min(chain(k_large) for _ in range(tries))
+                return max((t_l - t_s) / (k_large - 1), 1e-9)
+
+            def compile_fn(params: PlanParams):
+                h = _trial_compile(params)
+                handle_by_params[params] = params  # refine rebuilds exact
+                return h
+
+            def measure_fn(handle) -> float:
+                return sum(w * _measure_args(c, a, k_large=4, tries=2)
+                           for c, a, w in handle)
+        else:
+            def compile_fn(params: PlanParams):
+                h = _exact_compile(params)
+                handle_by_params[params] = h
+                return h
+
+            def measure_fn(compiled) -> float:
+                return _measure(compiled, k_large=5, tries=2)
 
     # seed the search with the hybrid-random initial simplex (default
     # heuristic point first, forced P1 coverage, biased random rest —
@@ -420,15 +482,27 @@ def tune(
     t0 = time.time()
     best_params, best_perf = tuner.run()
 
-    # refinement pass: the search ranked candidates with a coarse timer;
-    # re-measure the top few precisely before declaring a winner
+    # refinement pass: the search ranked candidates with a coarse (or
+    # FAST_TUNING-extrapolated) timer; re-measure the top few EXACTLY
+    # before declaring a winner
     if user_timer is None and tuner.db:
         ranked = sorted(tuner.db.items(), key=lambda kv: kv[1])[:3]
+        # always re-measure the default heuristic point exactly as well,
+        # so speedup_vs_default compares exact against exact (and best
+        # <= default holds structurally when both were refined)
+        if dflt_point in tuner.db and dflt_point not in [p for p, _ in
+                                                         ranked]:
+            ranked.append((dflt_point, tuner.db[dflt_point]))
         for pt, coarse in ranked:
             pp = space.to_params(pt)
             h = handle_by_params.get(pp)
             if h is None:
                 continue
+            if use_trial:
+                try:
+                    h = _exact_compile(pp)   # full plan, not the trial
+                except Exception:
+                    continue
             precise = _measure(h, k_large=17, tries=3)
             tuner.db[pt] = precise
             log.emit("refine", point=list(pt), coarse=coarse, perf=precise)

@@ -206,3 +206,84 @@ def test_inverse_tune_spec_bounds():
     q = PlanParams(p1=4, t1=1, t2=16)
     assert infeasible_reason(fwd, q) is None          # 16 <= 32
     assert infeasible_reason(inv, q) is not None      # 16 > 8
+
+
+def test_phase_trials_truncate_work():
+    """FAST_TUNING trial programs execute only the first k chunks of each
+    phase (offt-compute.c:3538-3548 parity): the phase-1 trial output
+    covers ~k/t of the chunked rows, and extrapolation weights are t/k."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    from offt_tpu.dist import make_mesh
+    from offt_tpu.dist.pencil import make_phase_trials
+    from offt_tpu.plan.params import PlanParams
+
+    mesh = make_mesh(2, 4)
+    shape = (32, 32, 32)
+    params = PlanParams(p1=2, t1=8, t2=8, w1=2, w2=2)
+    (fn1, spec1, shp1, w1), (fn2, spec2, shp2, w2) = make_phase_trials(
+        mesh, 3, params, shape, k=2)
+    assert w1 == 4.0 and w2 == 4.0
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        (rng.standard_normal(shp1) + 1j * rng.standard_normal(shp1)
+         ).astype(np.complex64), NamedSharding(mesh, spec1))
+    mid = fn1(x)
+    # phase 1 chunks the local x rows (32/2 = 16 per device, 8 chunks of
+    # 2); k=2 chunks -> 2*2 local rows -> global x extent 2*2*2 = 8
+    assert mid.shape == (8, 32, 32)
+    m = jax.device_put(
+        (rng.standard_normal(shp2) + 1j * rng.standard_normal(shp2)
+         ).astype(np.complex64), NamedSharding(mesh, spec2))
+    out = fn2(m)
+    # phase 2 chunks the local z extent (32/4 = 8, 8 chunks of 1); k=2 ->
+    # 2 local planes -> global 2*4 = 8
+    assert out.shape[0] == shp2[0] and out.shape[2] == 8
+
+
+def test_tune_fast_trial_end_to_end(tmp_path, monkeypatch):
+    """tune(fast_trial=k) searches on trial estimates and re-measures the
+    finalists exactly; the result is a feasible, usable plan."""
+    monkeypatch.setenv("OFFT_TPU_CACHE_DIR", str(tmp_path))
+    import numpy as np
+
+    import offt_tpu
+    from offt_tpu.dist import make_mesh
+    from offt_tpu.plan.params import ProblemSpec, is_feasible
+    from offt_tpu.tune import tune
+
+    mesh = make_mesh(2, 4)
+    res = tune((16, 16, 16), "complex64", mesh=mesh, strategy="random",
+               max_trials=4, include_radix=False, fast_trial=2,
+               log_path=str(tmp_path / "log.jsonl"))
+    spec = ProblemSpec(shape=(16, 16, 16), p=8)
+    assert is_feasible(spec, res.best_params)
+    assert res.best_perf > 0 and np.isfinite(res.best_perf)
+    # the tuned plan actually runs
+    p = offt_tpu.plan((16, 16, 16), "complex64", mesh=mesh,
+                      params=res.best_params, planar=True)
+    rng = np.random.default_rng(0)
+    re = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    im = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    yr, yi = p((re, im))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    want = np.fft.fftn(re + 1j * im)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+
+def test_tune_beats_or_matches_default(tmp_path, monkeypatch):
+    """BASELINE bar: tuned >= default. The refinement pass re-measures
+    both the finalists AND the default point exactly, so
+    speedup_vs_default compares exact against exact and best <= default
+    holds structurally (nm seeds vertex 0 with the default point)."""
+    monkeypatch.setenv("OFFT_TPU_CACHE_DIR", str(tmp_path))
+    from offt_tpu.dist import make_mesh
+    from offt_tpu.tune import tune
+
+    mesh = make_mesh(2, 4)
+    res = tune((16, 16, 16), "complex64", mesh=mesh, strategy="nm",
+               max_trials=6, include_radix=False,
+               log_path=str(tmp_path / "log.jsonl"))
+    assert res.speedup_vs_default >= 1.0
