@@ -15,8 +15,9 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-ROW = "row"   # size p1: phase-2 communicator (reference comm2)
-COL = "col"   # size p2: phase-1 communicator (reference comm1)
+ROW = "row"     # size p1: phase-2 communicator (reference comm2)
+COL = "col"     # size p2: phase-1 communicator (reference comm1)
+SLICE = "slice"  # multi-slice (DCN) axis: batch-parallel, never a pencil
 
 
 def make_mesh(p1: int, p2: int | None = None, devices=None) -> Mesh:
@@ -34,10 +35,60 @@ def make_mesh(p1: int, p2: int | None = None, devices=None) -> Mesh:
     return Mesh(arr, (ROW, COL))
 
 
+def make_multislice_mesh(slices: int, p1: int, p2: int | None = None,
+                         devices=None) -> Mesh:
+    """Nested (slice, p1, p2) mesh for multi-slice TPU pods.
+
+    The SLICE axis rides DCN (slow inter-slice network); the (ROW, COL)
+    axes ride ICI within each slice. The pencil all_to_alls only ever run
+    over ROW/COL, so NO FFT collective crosses DCN — the slice axis shards
+    a leading batch dim instead (each slice transforms its own batch
+    shard). Devices are grouped by their ``slice_index`` attribute when
+    the runtime exposes one (real multi-slice pods); otherwise contiguous
+    device blocks model the slices (CPU/virtual testing, SURVEY §4.5)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if p2 is None:
+        if p1 <= 0 or (n // slices) % p1 != 0:
+            raise ValueError(f"p1={p1} does not divide per-slice count "
+                             f"{n // slices}")
+        p2 = (n // slices) // p1
+    if slices * p1 * p2 > n:
+        raise ValueError(f"mesh {slices}x{p1}x{p2} needs "
+                         f"{slices * p1 * p2} devices, have {n}")
+    idx = getattr(devices[0], "slice_index", None)
+    if idx is not None:
+        by_slice: dict[int, list] = {}
+        for d in devices:
+            by_slice.setdefault(d.slice_index, []).append(d)
+        groups = [by_slice[k][: p1 * p2] for k in sorted(by_slice)[:slices]]
+        if any(len(g) < p1 * p2 for g in groups) or len(groups) < slices:
+            raise ValueError("not enough devices per slice")
+        arr = np.asarray(groups).reshape(slices, p1, p2)
+    else:
+        arr = np.asarray(devices[: slices * p1 * p2]).reshape(slices, p1, p2)
+    return Mesh(arr, (SLICE, ROW, COL))
+
+
+def _batch_spec(mesh: Mesh, ndim: int) -> tuple:
+    """Leading batch-dim partition entries: the SLICE axis shards the
+    first batch dim on multi-slice meshes, remaining batch dims replicate."""
+    nbatch = ndim - 3
+    if SLICE in mesh.axis_names:
+        if nbatch < 1:
+            raise ValueError(
+                "a multi-slice mesh shards a leading batch axis over the "
+                "DCN slice axis: use batch_dims >= 1 (a pure spatial "
+                "decomposition must not cross DCN)")
+        return (SLICE,) + (None,) * (nbatch - 1)
+    return (None,) * nbatch
+
+
 def input_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
     """Input pencil layout: x over rows, y over cols, z local (z-pencils),
-    with any leading batch dims replicated."""
-    spec = (None,) * (ndim - 3) + (ROW, COL, None)
+    with leading batch dims replicated (or slice-sharded on a DCN mesh)."""
+    spec = _batch_spec(mesh, ndim) + (ROW, COL, None)
     return NamedSharding(mesh, P(*spec))
 
 
@@ -45,7 +96,7 @@ def output_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
     """Output layout after the two transpose phases: x local, y over rows,
     z over cols — the reference's transposed-output convention
     (offt-compute.c:3892-3895,4038-4045)."""
-    spec = (None,) * (ndim - 3) + (None, ROW, COL)
+    spec = _batch_spec(mesh, ndim) + (None, ROW, COL)
     return NamedSharding(mesh, P(*spec))
 
 

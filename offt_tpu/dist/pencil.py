@@ -41,7 +41,7 @@ from jax.sharding import PartitionSpec as P
 from ..kernels import pallas_fft
 from ..kernels.stockham import fft_1d
 from ..plan.params import TRANSPOSE_PPERMUTE, PlanParams
-from .mesh import COL, ROW, mesh_shape
+from .mesh import COL, ROW, _batch_spec, mesh_shape
 
 
 def axis_fft(c, axis: int, inverse: bool, radices, params: PlanParams):
@@ -306,7 +306,7 @@ def make_pencil_fft3d(
     nx, ny, nz = shape
     nzt = z_freq_len or nz
     ax, ay, az = _spatial_axes(ndim)
-    batch = (None,) * (ndim - 3)
+    batch = _batch_spec(mesh, ndim)
     in_spec = P(*batch, ROW, COL, None) if not inverse else P(*batch, None, ROW, COL)
     out_spec = P(*batch, None, ROW, COL) if not inverse else P(*batch, ROW, COL, None)
 
@@ -363,7 +363,7 @@ def make_phase_trials(
     p1, p2 = mesh_shape(mesh)
     nx, ny, nz = shape
     ax, ay, az = _spatial_axes(ndim)
-    batch = (None,) * (ndim - 3)
+    batch = _batch_spec(mesh, ndim)
     if not inverse:
         a_first, a_mid, a_last = az, ay, ax
         name1, size1, name2, size2 = COL, p2, ROW, p1

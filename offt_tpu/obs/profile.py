@@ -66,7 +66,10 @@ def fft3d_breakdown(shape, params=None, dtype="complex64",
     from ..plan.params import ProblemSpec, default_params
 
     if params is None:
-        p = 1 if mesh is None else mesh.devices.size
+        p = 1
+        if mesh is not None:
+            from ..dist.mesh import mesh_shape
+            p = mesh_shape(mesh)[0] * mesh_shape(mesh)[1]
         params = default_params(ProblemSpec(shape=tuple(shape), dtype=dtype,
                                             p=p))
     rng = np.random.default_rng(0)

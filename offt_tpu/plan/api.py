@@ -415,7 +415,10 @@ def plan(
     if packed and (not real or mesh is not None or not planar):
         raise ValueError("packed layout requires real=True, planar=True "
                          "and a single device (mesh=None)")
-    p = 1 if mesh is None else mesh.devices.size
+    # spatial device count: the pencil decomposition spans only the
+    # (ROW, COL) axes; a multi-slice DCN axis shards batch, not space
+    p = 1 if mesh is None else (
+        meshlib.mesh_shape(mesh)[0] * meshlib.mesh_shape(mesh)[1])
     spec = ProblemSpec(shape=tuple(shape), dtype=str(jnp.dtype(dtype)),
                        real=real, inverse=inverse, p=p,
                        batch_sharded=batch_sharded)

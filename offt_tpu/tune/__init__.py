@@ -1,6 +1,12 @@
 """Auto-tuning: search space, strategies, tuning loop (the Active Harmony
 re-expression; SURVEY.md §2b)."""
 
+from .layers import (
+    FilterLayer,
+    Layer,
+    PenaltyLayer,
+    TransformLayer,
+)
 from .space import Dimension, SearchSpace, build_space
 from .strategies import (
     STRATEGIES,
@@ -13,7 +19,8 @@ from .strategies import (
 from .tuner import Tuner, TuneResult, tune
 
 __all__ = [
-    "STRATEGIES", "BruteStrategy", "Dimension", "NelderMead", "PROStrategy",
-    "RandomStrategy", "SearchSpace", "Tuner", "TuneResult", "build_space",
+    "STRATEGIES", "BruteStrategy", "Dimension", "FilterLayer", "Layer",
+    "NelderMead", "PROStrategy", "PenaltyLayer", "RandomStrategy",
+    "SearchSpace", "TransformLayer", "Tuner", "TuneResult", "build_space",
     "make_strategy", "tune",
 ]

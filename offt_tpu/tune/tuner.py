@@ -123,6 +123,7 @@ class Tuner:
         compile_fn: Optional[Callable[[PlanParams], object]] = None,
         measure_fn: Optional[Callable[[object], float]] = None,
         batch: int = 4,
+        layers=(),
     ):
         if objective is None and not (compile_fn and measure_fn):
             raise ValueError("need objective or compile_fn+measure_fn")
@@ -150,6 +151,10 @@ class Tuner:
         self.log = log or EventLog()
         self.db: dict[Point, float] = {}
         self.trials: list[TrialRecord] = []
+        # plugin layer stack (session-core.c:334-445 workflow): candidates
+        # run DOWN the stack before evaluation, reports run UP it
+        self.layers = tuple(layers)
+        self._replaced: dict[Point, Point] = {}
 
     def load_db(self, log_path: str) -> int:
         """Resume memoization from a previous run's JSONL trial log — the
@@ -195,6 +200,24 @@ class Tuner:
                               reason=reason)
                 self.strategy.rejected(point)
                 continue
+            if self.layers:
+                from .layers import REJECT, run_generation
+
+                orig = point
+                action, point, lreason = run_generation(
+                    self.layers, self.space, orig)
+                if action == REJECT:
+                    self.trials.append(
+                        TrialRecord(orig, None, INF, "rejected"))
+                    self.log.emit("trial", point=list(orig),
+                                  status="rejected", reason=lreason)
+                    self.strategy.rejected(orig)
+                    continue
+                point = tuple(point)
+                if point != orig:
+                    # the strategy is analyzed with ITS point (id-stable,
+                    # session-core keeps trial identity across rewrites)
+                    self._replaced[point] = orig
             if point in self.db:  # memo hit (is_in_database_point analogue)
                 perf = self.db[point]
                 self.trials.append(
@@ -252,11 +275,17 @@ class Tuner:
                     status = "error"
                     self.log.emit("trial_error", point=list(point),
                                   error=repr(e))
+            if self.layers:
+                from .layers import run_analysis
+
+                perf = run_analysis(self.layers, self.space, point, perf)
             self.db[point] = perf
             self.trials.append(TrialRecord(point, params, perf, status))
             self.log.emit("trial", point=list(point), perf=perf,
                           status=status)
-            self.strategy.analyze(point, perf)
+            # a transform layer may have rewritten the point; the strategy
+            # is analyzed with the point IT generated
+            self.strategy.analyze(self._replaced.get(point, point), perf)
 
     def run(self) -> tuple[Optional[PlanParams], float]:
         feasible = 0
@@ -319,7 +348,10 @@ def tune(
     max_trials = int(_cfg.get("max_trials", max_trials=max_trials))
     batch = max(1, int(_cfg.get("prefetch_count")))
 
-    p = 1 if mesh is None else mesh.devices.size
+    p = 1
+    if mesh is not None:
+        from ..dist.mesh import mesh_shape as _ms
+        p = _ms(mesh)[0] * _ms(mesh)[1]
     fixed_p1 = None
     if mesh is not None:
         from ..dist.mesh import mesh_shape

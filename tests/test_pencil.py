@@ -189,3 +189,29 @@ def test_allgather_variant_uneven():
     x = rand_c((12, 10, 9), seed=7)
     got = offt_tpu.fft3d(x, mesh=mesh, params=PlanParams(p1=2, v=3))
     assert rel_err(got, np.fft.fftn(x)) < 1e-12
+
+
+def test_multislice_mesh_batched():
+    """Multi-slice (DCN) story: a (slice, p1, p2) mesh shards the batch
+    axis over the slow DCN axis while the pencil all_to_alls stay within
+    each slice's ICI (SURVEY §5 comm backend; VERDICT r1 item 10)."""
+    from offt_tpu.dist.mesh import SLICE, make_multislice_mesh
+
+    mesh = make_multislice_mesh(2, 2, 2)          # 2 slices x (2,2) chips
+    assert mesh.axis_names == (SLICE, "row", "col")
+    x = rand_c((4, 16, 16, 16), dtype=np.complex64, seed=11)
+    got = offt_tpu.fft3d(x, mesh=mesh)
+    want = np.fft.fftn(x, axes=(-3, -2, -1))
+    assert rel_err(got, want) < 1e-5
+    # inverse roundtrip over the same nested mesh
+    back = offt_tpu.ifft3d(np.asarray(got), mesh=mesh)
+    assert rel_err(back, x) < 1e-5
+
+
+def test_multislice_requires_batch():
+    from offt_tpu.dist.mesh import make_multislice_mesh
+
+    mesh = make_multislice_mesh(2, 2, 2)
+    x = rand_c((16, 16, 16), dtype=np.complex64, seed=12)
+    with pytest.raises(ValueError, match="batch"):
+        offt_tpu.fft3d(x, mesh=mesh)

@@ -287,3 +287,53 @@ def test_tune_beats_or_matches_default(tmp_path, monkeypatch):
                max_trials=6, include_radix=False,
                log_path=str(tmp_path / "log.jsonl"))
     assert res.speedup_vs_default >= 1.0
+
+
+def test_layer_stack_filter_and_penalty():
+    """session-core plugin-workflow parity: candidates run DOWN the layer
+    stack (REJECT returns them to the strategy with a rejected() signal),
+    reports run UP it (perf transforms)."""
+    from offt_tpu.tune import FilterLayer, PenaltyLayer, Tuner
+    from offt_tpu.tune.synth import _SynthSpace
+    from offt_tpu.plan.params import ProblemSpec
+    from offt_tpu.tune.space import Dimension
+
+    space = _SynthSpace(spec=ProblemSpec(shape=(1, 1, 1)),
+                        dims=(Dimension("a", tuple(range(10))),))
+
+    def objective(vals):
+        return float(vals[0])
+
+    flt = FilterLayer(lambda vals: vals[0] % 2 == 0, name="even-only")
+    pen = PenaltyLayer(lambda space, pt, perf: perf + 100.0)
+    tuner = Tuner(space, objective, strategy="brute", max_trials=10,
+                  layers=[flt, pen])
+    best, perf = tuner.run()
+    rejected = [t for t in tuner.trials if t.status == "rejected"]
+    assert len(rejected) == 5                       # odd values filtered
+    assert space.to_params(best) == (0,)            # best even value
+    assert perf == 100.0                            # penalty applied upward
+
+
+def test_layer_stack_transform():
+    """A TransformLayer rewrite is evaluated, while the strategy is
+    analyzed with the point IT generated (trial identity preserved)."""
+    from offt_tpu.tune import TransformLayer, Tuner
+    from offt_tpu.tune.synth import _SynthSpace
+    from offt_tpu.plan.params import ProblemSpec
+    from offt_tpu.tune.space import Dimension
+
+    space = _SynthSpace(spec=ProblemSpec(shape=(1, 1, 1)),
+                        dims=(Dimension("a", tuple(range(8))),))
+    seen = []
+
+    def objective(vals):
+        seen.append(vals[0])
+        return float(vals[0])
+
+    # canonicalize to even (ADJUST_POINT analogue, offt-tuning.c:90-118)
+    tl = TransformLayer(lambda sp, pt: (pt[0] - pt[0] % 2,))
+    tuner = Tuner(space, objective, strategy="brute", max_trials=8,
+                  layers=[tl])
+    tuner.run()
+    assert all(v % 2 == 0 for v in seen)            # evaluated canonical
