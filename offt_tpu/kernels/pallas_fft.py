@@ -989,7 +989,7 @@ def _assemble_mp1(yr, yi, a, b):
     a2i = jnp.imag(a).reshape(rows, ny)
     b2r = jnp.real(b).reshape(rows, ny)
     b2i = jnp.imag(b).reshape(rows, ny)
-    tx = max(1, min(16, (1 << 21) // max(ny * m, 1)))
+    tx = max(1, min(16, (1 << 20) // max(ny * m, 1)))
     while rows % tx != 0:
         tx -= 1
     blk_in = pl.BlockSpec((tx, ny, m), lambda i: (i, 0, 0),
@@ -1006,7 +1006,7 @@ def _assemble_mp1(yr, yi, a, b):
         out_shape=(jax.ShapeDtypeStruct((rows, ny, m + 1), jnp.float32),
                    jax.ShapeDtypeStruct((rows, ny, m + 1), jnp.float32)),
         interpret=_interpret(),
-        **_vmem_params(10 * tx * ny * m * 4),
+        **_vmem_params(11 * tx * ny * m * 4),
     )(yr2, yi2, a2r, a2i, b2r, b2i)
     return (out_r.reshape(lead + (ny, m + 1)),
             out_i.reshape(lead + (ny, m + 1)))
