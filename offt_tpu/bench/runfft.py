@@ -31,6 +31,9 @@ def _parse_args(argv=None):
     p.add_argument("-a", "--algo", default="offt",
                    choices=["offt", "xla", "numpy"])
     p.add_argument("-R", "--r2c", action="store_true")
+    p.add_argument("--packed", action="store_true",
+                   help="r2c/c2r in the packed-Nyquist half-spectrum "
+                        "layout (TPU-native, see DESIGN.md)")
     p.add_argument("-b", "--batch", type=int, default=0,
                    help="leading batch dim (BASELINE config 5 style)")
     p.add_argument("-i", "--inverse", action="store_true")
@@ -145,15 +148,21 @@ def main(argv=None):
                                        batch_dims=len(shape) - 3).params
         params = base.replace(**overrides)
 
-    re = jax.device_put(rng.standard_normal(shape).astype(np.float32))
+    in_shape = shape
+    if ns.r2c and ns.inverse:   # c2r input: half spectrum
+        m = shape[-1] // 2
+        in_shape = shape[:-1] + ((m,) if ns.packed else (m + 1,))
+    re = jax.device_put(rng.standard_normal(in_shape).astype(np.float32))
     if ns.algo == "offt":
         p = offt_tpu.plan(shape[-3:], "complex64", mesh=mesh, real=ns.r2c,
                           inverse=ns.inverse, params=params, planar=True,
-                          batch_dims=len(shape) - 3)
+                          batch_dims=len(shape) - 3,
+                          packed=ns.packed and ns.r2c)
         if ns.r2c and not ns.inverse:
             args = (re,)
         else:
-            im = jax.device_put(rng.standard_normal(shape).astype(np.float32))
+            im = jax.device_put(
+                rng.standard_normal(in_shape).astype(np.float32))
             args = (re, im)
         fn = p._fn
         t_init = time.time() - t_init0
@@ -205,6 +214,9 @@ def _verify(p, shape, ns):
     if ns.r2c and not ns.inverse:
         x = rng.standard_normal(shape).astype(np.float32)
         got = p(x)
+        if ns.packed:   # unpack outside the timed region
+            from offt_tpu.kernels.pallas_fft import unpack_rfft3d
+            got = unpack_rfft3d(*got)
         got = np.asarray(got[0]) + 1j * np.asarray(got[1])
         want = np.fft.rfftn(x, axes=(-3, -2, -1))
     else:

@@ -442,8 +442,12 @@ def plan(
     scale = _norm_scale(norm, inverse, shape[0] * shape[1] * shape[2])
     if packed:
         from ..kernels import pallas_fft as pf
-        if not (params.use_pallas and pf.can_use_rfft3d(
-                *shape, params.radix_x, params.radix_y, params.radix_z)):
+        if not params.use_pallas:
+            # packed REQUIRES the Pallas fast path; auto-enable it (the
+            # kernels run in interpret mode off-TPU)
+            params = params.replace(use_pallas=1)
+        if not pf.can_use_rfft3d(*shape, params.radix_x, params.radix_y,
+                                 params.radix_z):
             raise ValueError("packed layout needs the Pallas r2c fast path "
                              f"(shape {shape} not eligible)")
     fn, in_planar = _build_fn(spec, params, mesh, ndim, planar=planar,

@@ -105,3 +105,15 @@ def test_runfft_mesh_breakdown():
     assert out.returncode == 0, out.stderr[-800:]
     for key in ("exchange_1", "exchange_2", "overlap_gain"):
         assert key in out.stderr
+
+
+def test_runfft_r2c_packed():
+    out = run_cli(["bench", "-N", "8", "--nz", "256", "-a", "offt", "-R",
+                   "--packed", "-r", "1", "--verify"], timeout=240)
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "verify rel_err" in out.stderr
+
+
+def test_runfft_c2r_inverse():
+    out = run_cli(["bench", "-N", "16", "-a", "offt", "-R", "-i", "-r", "1"])
+    assert out.returncode == 0, out.stderr[-800:]
