@@ -79,14 +79,27 @@ def _tables(n: int, r1: int, inverse: bool, scale: float = 1.0):
 
     ``scale`` is folded into the twiddle table (applied exactly once per
     element between the stages) so inverse 1/N normalization costs zero
-    extra HBM passes."""
+    extra HBM passes.
+
+    When the LOOP core applies (max radix <= _LOOP_MAX_RADIX, r2 > 1),
+    the "g2" slot instead carries a stacked (r1, 2r2, 2r2) family of
+    per-row-group stage-B matrices with the twiddles (and scale) folded
+    IN: y_k1 = fold(F2 * tw[k1, :]) @ a_k1. The VPU twiddle pass vanishes;
+    A/B on v5e measured perf-NEUTRAL (the twiddle overlapped with MXU
+    anyway) but accuracy improves ~20% (1.2e-7 vs 1.5e-7 at 256^3 — one
+    fewer f32 rounding per element). _sublane_core dispatches on g2.ndim."""
     r2 = n // r1
     f1 = dft.dft_matrix(r1, np.complex128, inverse)
     f2 = dft.dft_matrix(r2, np.complex128, inverse)
     tw = dft.twiddles(r1, r2, np.complex128, inverse) * scale  # (r1, r2)
+    if max(r1, r2) <= _LOOP_MAX_RADIX and r2 > 1:
+        g2 = np.stack([_fold_complex(f2 * tw[k1][None, :])
+                       for k1 in range(r1)])       # (r1, 2r2, 2r2)
+    else:
+        g2 = _fold_complex(f2)                     # (2r2, 2r2)
     out = {
         "g1": _fold_complex(f1),                   # (2r1, 2r1)
-        "g2": _fold_complex(f2),                   # (2r2, 2r2)
+        "g2": g2,
         "twr": tw.real, "twi": tw.imag,            # (r1, r2)
     }
     return {k: v.astype(np.float32) for k, v in out.items()}
@@ -145,6 +158,7 @@ def _sublane_core_loop(xr, xi, g1, g2, twr, twi, r1, r2, precision):
     lanes = xr.shape[-1]
     x3r = xr.reshape(r1, r2, lanes)
     x3i = xi.reshape(r1, r2, lanes)
+    folded_tw = g2.ndim == 3   # per-k1 stage-B matrices, twiddles inside
     # stage A: per-n2 digit slice, contraction depth 2*r1 on sublanes
     outs_r, outs_i = [], []
     for j in range(r2):
@@ -152,15 +166,21 @@ def _sublane_core_loop(xr, xi, g1, g2, twr, twi, r1, r2, precision):
         a = jnp.dot(g1, xs, preferred_element_type=jnp.float32,
                     precision=precision)
         ar, ai = a[:r1], a[r1:]
-        outs_r.append(ar * twr[:, j:j + 1] - ai * twi[:, j:j + 1])
-        outs_i.append(ar * twi[:, j:j + 1] + ai * twr[:, j:j + 1])
-    # stage B: per-k1 row group, contraction depth 2*r2
+        if folded_tw:
+            outs_r.append(ar)
+            outs_i.append(ai)
+        else:
+            outs_r.append(ar * twr[:, j:j + 1] - ai * twi[:, j:j + 1])
+            outs_i.append(ar * twi[:, j:j + 1] + ai * twr[:, j:j + 1])
+    # stage B: per-k1 row group, contraction depth 2*r2 (twiddles folded
+    # into the per-group matrix when folded_tw — zero VPU twiddle work)
     rows_r, rows_i = [], []
     for k1 in range(r1):
         bs = jnp.concatenate(
             [jnp.stack([outs_r[j][k1] for j in range(r2)], axis=0),
              jnp.stack([outs_i[j][k1] for j in range(r2)], axis=0)], axis=0)
-        c = jnp.dot(g2, bs, preferred_element_type=jnp.float32,
+        c = jnp.dot(g2[k1] if folded_tw else g2, bs,
+                    preferred_element_type=jnp.float32,
                     precision=precision)
         rows_r.append(c[:r2])
         rows_i.append(c[r2:])
@@ -244,7 +264,7 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     grid = (bp // tb,)
     row_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    const_spec = [pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim,
+    const_spec = [pl.BlockSpec(c.shape, lambda i, c=c: (0,) * c.ndim,
                                memory_space=pltpu.VMEM) for c in consts]
     yr, yi = pl.pallas_call(
         kernel,
@@ -315,7 +335,7 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
     grid = (pre, lanes // tl)
     blk = pl.BlockSpec((1, n, tl), lambda i, j: (i, 0, j),
                        memory_space=pltpu.VMEM)
-    const_spec = [pl.BlockSpec(c.shape, lambda i, j: (0,) * c.ndim,
+    const_spec = [pl.BlockSpec(c.shape, lambda i, j, c=c: (0,) * c.ndim,
                                memory_space=pltpu.VMEM) for c in consts]
 
     yr, yi = pl.pallas_call(
