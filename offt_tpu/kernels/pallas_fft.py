@@ -705,7 +705,8 @@ def _rfft_tables(n: int, dtype_name: str = "float32"):
 
 
 def _rfft_last_kernel(vr_ref, vi_ref, g1, g2, twr, twi, wr, wi,
-                      or_ref, oi_ref, *, r1: int, r2: int, precision: str):
+                      or_ref, oi_ref, *, r1: int, r2: int, precision: str,
+                      packed: bool = False):
     m = vr_ref.shape[1]
     vrt = vr_ref[:].T
     vit = vi_ref[:].T
@@ -724,6 +725,13 @@ def _rfft_last_kernel(vr_ref, vi_ref, g1, g2, twr, twi, wr, wi,
     # X[k] = Xe[k] + W^k * Xo[k], k = 0..M-1
     xr = xer + wr[:] * xor_ - wi[:] * xoi
     xi = xei + wr[:] * xoi + wi[:] * xor_
+    if packed:
+        # Nyquist packing: row 0 := X[0].re + i * X[M].re (both real)
+        row0_re = xer[:1] + xor_[:1]
+        row0_im = xer[:1] - xor_[:1]
+        or_ref[:] = jnp.concatenate([row0_re, xr[1:]], axis=0).T
+        oi_ref[:] = jnp.concatenate([row0_im, xi[1:]], axis=0).T
+        return
     # X[M] = Xe[0] - Xo[0] (purely real)
     last_r = (xer[:1] - xor_[:1])
     last_i = jnp.zeros_like(last_r)
@@ -738,8 +746,11 @@ def can_use_rfft_last(n: int, radices=None) -> bool:
 
 
 def rfft_last_planar(x: jax.Array, radices=None,
-                     precision: str = DEFAULT_PRECISION, block_rows: int = 0):
-    """Fused r2c along the last axis: real (..., N) -> planar (..., N//2+1).
+                     precision: str = DEFAULT_PRECISION, block_rows: int = 0,
+                     packed: bool = False):
+    """Fused r2c along the last axis: real (..., N) -> planar (..., N//2+1)
+    (or the packed (..., N//2) layout with ``packed=True`` — plane 0
+    carries X_0 + i*X_M; the distributed pipeline's aligned format).
 
     The even/odd packing happens outside (one strided-slice pass); the
     half-length transform and the untangle are one kernel pass.
@@ -750,6 +761,7 @@ def rfft_last_planar(x: jax.Array, radices=None,
     if pick is None or n % 2 != 0:
         raise ValueError(f"N={n} not expressible for the fused r2c kernel")
     r1, r2 = pick
+    mo = m if packed else m + 1
     lead = x.shape[:-1]
     b = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(b, n).astype(jnp.float32)
@@ -766,9 +778,9 @@ def rfft_last_planar(x: jax.Array, radices=None,
     consts = [jnp.asarray(v) for v in
               (t["g1"], t["g2"], t["twr"], t["twi"], wr, wi)]
     kernel = functools.partial(_rfft_last_kernel, r1=r1, r2=r2,
-                               precision=precision)
+                               precision=precision, packed=packed)
     in_spec = pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tb, m + 1), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((tb, mo), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     const_spec = [pl.BlockSpec(c.shape, lambda i, c=c: (0,) * c.ndim,
                                memory_space=pltpu.VMEM) for c in consts]
@@ -777,14 +789,14 @@ def rfft_last_planar(x: jax.Array, radices=None,
         grid=(bp // tb,),
         in_specs=[in_spec, in_spec] + const_spec,
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((bp, m + 1), jnp.float32),
-                   jax.ShapeDtypeStruct((bp, m + 1), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((bp, mo), jnp.float32),
+                   jax.ShapeDtypeStruct((bp, mo), jnp.float32)),
         interpret=_interpret(),
     )(vr, vi, *consts)
     if bp != b:
         yr = yr[:b]
         yi = yi[:b]
-    return yr.reshape(*lead, m + 1), yi.reshape(*lead, m + 1)
+    return yr.reshape(*lead, mo), yi.reshape(*lead, mo)
 
 
 # --------------------------------------------------------------------------
@@ -1207,3 +1219,72 @@ def irfft3d_planar(xr: jax.Array, xi: jax.Array, nz: int = 0,
                          precision=precision,
                          scale=1.0 / (nx_ * ny * m), block_rows=slab_rows,
                          side_r=side_r, side_i=side_i)
+
+
+# --------------------------------------------------------------------------
+# packed last-axis c2r: the 1-D mirror of rfft_last_planar(packed=True),
+# used as the distributed pipeline's final z-stage (plan(..., mesh,
+# real=True, packed=True)). One kernel pass: G-matrix re-tangle (packed
+# plane unpack + scale folded in) -> inverse half-length core -> even/odd
+# interleave, all inside the transpose sandwich.
+# --------------------------------------------------------------------------
+
+def _icrfft_last_kernel(xr_ref, xi_ref, g1, g2, twr, twi, g_mat, o_ref,
+                        *, r1: int, r2: int, precision: str):
+    m = xr_ref.shape[1]
+    zr = xr_ref[:].T                                   # (M, TB)
+    zi = xi_ref[:].T
+    vs = jnp.dot(g_mat[:], jnp.concatenate([zr, zi], axis=0),
+                 preferred_element_type=jnp.float32, precision=precision)
+    vr, vi = _sublane_core(vs[:m], vs[m:], g1[:], g2[:], twr[:], twi[:],
+                           r1, r2, precision)          # v = idft_M(V)
+    out = jnp.stack([vr, vi], axis=1).reshape(2 * m, xr_ref.shape[0])
+    o_ref[:] = out.T
+
+
+def icrfft_last_planar(xr: jax.Array, xi: jax.Array, n: int = 0,
+                       radices=None, precision: str = DEFAULT_PRECISION,
+                       scale: float = 0.0, block_rows: int = 0):
+    """Packed c2r along the last axis: planar (..., M) packed -> real
+    (..., N = 2M). ``scale`` defaults to the exact-inverse 1/M (pass the
+    combined factor when upstream passes were left unscaled)."""
+    m = xr.shape[-1]
+    n = n or 2 * m
+    pick = _pick_2stage(m, radices)
+    if pick is None:
+        raise ValueError(f"M={m} not expressible for the packed c2r kernel")
+    r1, r2 = pick
+    if not scale:
+        scale = 1.0 / m
+    lead = xr.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    xr2 = xr.reshape(b, m).astype(jnp.float32)
+    xi2 = xi.reshape(b, m).astype(jnp.float32)
+    tb = block_rows or max(128, min(512, (1 << 21) // max(m, 1) & ~127))
+    tb = min(tb, -(-b // 128) * 128)
+    bp = -(-b // tb) * tb
+    if bp != b:
+        xr2 = jnp.pad(xr2, ((0, bp - b), (0, 0)))
+        xi2 = jnp.pad(xi2, ((0, bp - b), (0, 0)))
+    t = _tables(m, r1, inverse=True)
+    consts = [jnp.asarray(v) for v in
+              (t["g1"], t["g2"], t["twr"], t["twi"],
+               _crfft_g_matrix(n, float(scale)))]
+    kernel = functools.partial(_icrfft_last_kernel, r1=r1, r2=r2,
+                               precision=precision)
+    in_spec = pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_spec = [pl.BlockSpec(c.shape, lambda i, c=c: (0,) * c.ndim,
+                               memory_space=pltpu.VMEM) for c in consts]
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // tb,),
+        in_specs=[in_spec, in_spec] + const_spec,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        interpret=_interpret(),
+    )(xr2, xi2, *consts)
+    if bp != b:
+        out = out[:b]
+    return out.reshape(*lead, n)

@@ -107,11 +107,23 @@ def _real_fft_fn(params: PlanParams):
 
 
 def _local_fft3d(x, inverse: bool, real: bool, nz: int, params: PlanParams):
-    """Single-device 3-D transform: three axis passes (fused Pallas kernels
-    when params.use_pallas, else the unfused matmul path)."""
+    """Single-device 3-D transform: the fused planar kernels (slab +
+    stride-padded x) when eligible — this also serves the batch-sharded
+    shard_map path and complex-boundary plans — else three axis passes."""
+    from ..kernels import pallas_fft as pf
     from ..dist.pencil import axis_fft
 
     ax, ay, az = x.ndim - 3, x.ndim - 2, x.ndim - 1
+    if (not real and params.use_pallas and x.dtype == jnp.complex64
+            and all(pf.can_use_pallas(n, r) for n, r in
+                    zip(x.shape[-3:], (params.radix_x, params.radix_y,
+                                       params.radix_z)))):
+        yr, yi = pf.fft3d_planar(
+            jnp.real(x), jnp.imag(x), inverse=inverse,
+            rad_z=params.radix_z, rad_y=params.radix_y,
+            rad_x=params.radix_x, precision=params.precision,
+            block=params.block_batch, slab_rows=params.slab_rows)
+        return jax.lax.complex(yr, yi)
     if not inverse:
         if real:
             x = _rfft_z(x, params, x.shape[az])
@@ -183,7 +195,8 @@ def _slice_axis(x, axis: int, target: int):
     return lax.slice_in_dim(x, 0, target, axis=axis)
 
 
-def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int):
+def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
+               packed: bool = False):
     """Build the (untraced) transform fn. Returns (fn, in_shard, out_shard);
     shardings are None when unconstrained (padded/uneven boundaries).
 
@@ -192,10 +205,15 @@ def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int):
     pipeline slices back to true extents before each transform (the
     padded-static-shard answer to the reference's variable-count
     MPI_Ialltoallv, offt.h:109-125).
+
+    ``packed`` (real transforms): the frequency axis stays at M = Nz/2
+    packed lanes through the whole pipeline — the distributed exchanges
+    then move exactly the half-spectrum volume, 128-lane aligned, with no
+    Nyquist-plane padding (DESIGN.md).
     """
     nx, ny, nz = spec.shape
     ax, ay, az = ndim - 3, ndim - 2, ndim - 1
-    nzf = nz // 2 + 1
+    nzf = nz // 2 if packed else nz // 2 + 1
     nzt = nzf if spec.real else nz          # z length after the first pass
 
     if mesh is None:
@@ -237,13 +255,31 @@ def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int):
     first_fn = None
     last_fn = None
     if spec.real and not spec.inverse:
-        def first_fn(c):
-            return _rfft_z(c, params, nz)
+        if packed:
+            from ..kernels import pallas_fft as pf
+
+            def first_fn(c):
+                yr, yi = pf.rfft_last_planar(
+                    c, radices=params.radix_z, precision=params.precision,
+                    packed=True)
+                return jax.lax.complex(yr, yi)
+        else:
+            def first_fn(c):
+                return _rfft_z(c, params, nz)
     if spec.real and spec.inverse:
-        def last_fn(c):
-            c = _slice_axis(c, az, nzf)
-            return irfft_1d(c, n=nz, axis=az, radices=params.radix_z,
-                            fft_fn=_real_fft_fn(params))
+        if packed:
+            from ..kernels import pallas_fft as pf
+
+            def last_fn(c):
+                c = _slice_axis(c, az, nzf)   # drop exchange pad lanes
+                return pf.icrfft_last_planar(
+                    jnp.real(c), jnp.imag(c), nz, radices=params.radix_z,
+                    precision=params.precision)
+        else:
+            def last_fn(c):
+                c = _slice_axis(c, az, nzf)
+                return irfft_1d(c, n=nz, axis=az, radices=params.radix_z,
+                                fft_fn=_real_fft_fn(params))
 
     sm = make_pencil_fft3d(
         mesh, ndim, params, shape=(nx, ny, nz), inverse=spec.inverse,
@@ -289,13 +325,16 @@ def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int):
     return inv, in_shard, out_shard
 
 
-def _jit_plan_fn(spec: ProblemSpec, raw_fn, in_shard, out_shard, planar: bool):
+def _jit_plan_fn(spec: ProblemSpec, raw_fn, in_shard, out_shard,
+                 planar: bool, donate: bool = False):
     """Planarize (if requested) and jit with pinned shardings.
 
     With ``planar=True`` complex operands/results cross the jit boundary as
     (real, imag) float pairs — required on TPU runtimes without complex
     transfer support, and the native layout for Pallas kernels.
-    """
+    ``donate`` donates the input buffers to XLA (the caller's arrays are
+    invalidated) — required headroom for HBM-scale transforms like
+    1024^3 r2c on a 16 GB chip."""
     in_planar = planar and not (spec.real and not spec.inverse)
     out_planar = planar and not (spec.real and spec.inverse)
     fn = _planarize(raw_fn, in_planar, out_planar)
@@ -304,12 +343,14 @@ def _jit_plan_fn(spec: ProblemSpec, raw_fn, in_shard, out_shard, planar: bool):
         kw["in_shardings"] = (in_shard, in_shard) if in_planar else in_shard
     if out_shard is not None:
         kw["out_shardings"] = (out_shard, out_shard) if out_planar else out_shard
+    if donate:
+        kw["donate_argnums"] = (0, 1) if in_planar else (0,)
     return jax.jit(fn, **kw), in_planar
 
 
 def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
               planar: bool = False, out_scale: float = 1.0,
-              packed: bool = False):
+              packed: bool = False, donate: bool = False):
     def _scaled(fn_inner):
         if out_scale == 1.0:
             return fn_inner
@@ -337,13 +378,15 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                         x, rad_z=params.radix_z, rad_y=params.radix_y,
                         rad_x=params.radix_x, precision=params.precision,
                         slab_rows=params.slab_rows, packed=packed)
-                return jax.jit(_scaled(fwd)), False
+                return jax.jit(_scaled(fwd),
+                               donate_argnums=(0,) if donate else ()), False
             def inv(re, im):
                 return pf.irfft3d_planar(
                     re, im, nz, rad_z=params.radix_z, rad_y=params.radix_y,
                     rad_x=params.radix_x, precision=params.precision,
                     slab_rows=params.slab_rows, packed=packed)
-            return jax.jit(_scaled(inv)), True
+            return jax.jit(_scaled(inv),
+                           donate_argnums=(0, 1) if donate else ()), True
 
     # planar-native fast path: local c2c with fused kernels never touches a
     # complex dtype at all (zero conversion passes)
@@ -360,9 +403,12 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                     rad_z=params.radix_z, rad_y=params.radix_y,
                     rad_x=params.radix_x, precision=params.precision,
                     block=params.block_batch, slab_rows=params.slab_rows)
-            return jax.jit(_scaled(fn)), True
-    raw_fn, in_shard, out_shard = _build_raw(spec, params, mesh, ndim)
-    return _jit_plan_fn(spec, _scaled(raw_fn), in_shard, out_shard, planar)
+            return jax.jit(_scaled(fn),
+                           donate_argnums=(0, 1) if donate else ()), True
+    raw_fn, in_shard, out_shard = _build_raw(spec, params, mesh, ndim,
+                                             packed=packed)
+    return _jit_plan_fn(spec, _scaled(raw_fn), in_shard, out_shard, planar,
+                        donate=donate)
 
 
 def _norm_scale(norm: str, inverse: bool, total: int) -> float:
@@ -394,6 +440,7 @@ def plan(
     norm: Optional[str] = None,
     batch_sharded: bool = False,
     packed: bool = False,
+    donate: bool = False,
 ) -> Plan:
     """Build a 3-D FFT plan. ``shape`` is the spatial (Nx, Ny, Nz).
 
@@ -412,9 +459,9 @@ def plan(
         raise ValueError(f"shape must be (Nx, Ny, Nz), got {shape}")
     if batch_sharded and (mesh is None or batch_dims < 1):
         raise ValueError("batch_sharded needs a mesh and batch_dims >= 1")
-    if packed and (not real or mesh is not None or not planar):
+    if packed and (not real or not planar or batch_sharded):
         raise ValueError("packed layout requires real=True, planar=True "
-                         "and a single device (mesh=None)")
+                         "(and not batch_sharded)")
     # spatial device count: the pencil decomposition spans only the
     # (ROW, COL) axes; a multi-slice DCN axis shards batch, not space
     p = 1 if mesh is None else (
@@ -443,15 +490,20 @@ def plan(
     if packed:
         from ..kernels import pallas_fft as pf
         if not params.use_pallas:
-            # packed REQUIRES the Pallas fast path; auto-enable it (the
-            # kernels run in interpret mode off-TPU)
+            # packed REQUIRES the Pallas kernels; auto-enable (they run in
+            # interpret mode off-TPU)
             params = params.replace(use_pallas=1)
-        if not pf.can_use_rfft3d(*shape, params.radix_x, params.radix_y,
-                                 params.radix_z):
-            raise ValueError("packed layout needs the Pallas r2c fast path "
-                             f"(shape {shape} not eligible)")
+        if mesh is None:
+            if not pf.can_use_rfft3d(*shape, params.radix_x, params.radix_y,
+                                     params.radix_z):
+                raise ValueError("packed layout needs the Pallas r2c fast "
+                                 f"path (shape {shape} not eligible)")
+        elif (shape[2] % 2
+              or pf._pick_2stage(shape[2] // 2, params.radix_z) is None):
+            raise ValueError(f"packed layout needs Nz even with Nz/2 "
+                             f"2-stage expressible (got Nz={shape[2]})")
     fn, in_planar = _build_fn(spec, params, mesh, ndim, planar=planar,
-                              out_scale=scale, packed=packed)
+                              out_scale=scale, packed=packed, donate=donate)
     return Plan(spec=spec, params=params, mesh=mesh, ndim=ndim, _fn=fn,
                 planar=planar, _in_planar=in_planar)
 

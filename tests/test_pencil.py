@@ -215,3 +215,27 @@ def test_multislice_requires_batch():
     x = rand_c((16, 16, 16), dtype=np.complex64, seed=12)
     with pytest.raises(ValueError, match="batch"):
         offt_tpu.fft3d(x, mesh=mesh)
+
+
+def test_distributed_packed_rfft():
+    """Distributed packed r2c: the frequency axis stays at M = Nz/2
+    aligned lanes through both exchanges (no Nyquist padding) and the
+    roundtrip with the packed c2r plan is exact."""
+    from offt_tpu.kernels.pallas_fft import unpack_rfft3d
+
+    mesh = make_mesh(2, 4)
+    shape = (16, 16, 32)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(shape).astype(np.float32)
+    fwd = offt_tpu.plan(shape, "complex64", mesh=mesh, real=True,
+                        planar=True, packed=True)
+    yr, yi = fwd(x)
+    assert yr.shape == (16, 16, 16)          # M = 16 packed lanes
+    ur, ui = unpack_rfft3d(np.asarray(yr), np.asarray(yi))
+    got = np.asarray(ur) + 1j * np.asarray(ui)
+    want = np.fft.rfftn(x.astype(np.float64))
+    assert rel_err(got, want) < 1e-5
+    inv = offt_tpu.plan(shape, "complex64", mesh=mesh, real=True,
+                        inverse=True, planar=True, packed=True)
+    back = inv((yr, yi))
+    assert rel_err(np.asarray(back), x) < 1e-5
