@@ -134,6 +134,20 @@ def _pick_2stage(n: int, radices=None) -> tuple[int, int] | None:
 _LOOP_MAX_RADIX = 32
 
 
+def _pick_lane_tile(lanes: int, target: int) -> int:
+    """Largest legal lane-tile <= target. Mosaic block rule: the lane dim
+    must be a MULTIPLE OF 128 or equal the full array extent — naive
+    halving of a non-divisor guess can walk straight past every legal
+    value (lanes = 320*320 has 512 but no power-of-two-of-768 divisor;
+    found on hardware, interpret mode never checks)."""
+    target = min(target, lanes)
+    if lanes % target == 0 and (target % 128 == 0 or target == lanes):
+        return target
+    best = max((c for c in range(128, target + 1, 128) if lanes % c == 0),
+               default=0)
+    return best or lanes
+
+
 def _sublane_core(xr, xi, g1, g2, twr, twi, r1: int, r2: int,
                   precision: str = DEFAULT_PRECISION):
     """FFT over the first axis of (N, L) planar vectors; natural output
@@ -321,13 +335,9 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
     # VMEM budget: 4 planar arrays (in+out) are double-buffered across grid
     # steps plus ~2 block-sized intermediates -> keep n*tl*4B around 1 MiB
     # (n=512, tl=1024 measured 21.4M scoped vmem > the 16M limit)
-    tl = block_lanes or max(128, min(1024, ((1 << 18) // max(n, 1)) & ~127))
-    tl = min(tl, lanes)
-    if lanes % tl != 0:
-        # shrink to a divisor of lanes (lanes is a product of pow2-ish dims)
-        while tl > 1 and lanes % tl != 0:
-            tl //= 2
-        tl = max(tl, 1)
+    tl = _pick_lane_tile(
+        lanes, block_lanes or max(128, min(1024,
+                                           ((1 << 18) // max(n, 1)) & ~127)))
     t = _tables(n, r1, inverse, scale)
     consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
     kernel = functools.partial(_sublane_kernel, r1=r1, r2=r2,
@@ -346,6 +356,7 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
         out_shape=(jax.ShapeDtypeStruct(shape3, jnp.float32),
                    jax.ShapeDtypeStruct(shape3, jnp.float32)),
         interpret=_interpret(),
+        **_vmem_params(12 * n * tl * 4),
     )(xr3, xi3, *consts)
     return yr.reshape(xr.shape), yi.reshape(xr.shape)
 

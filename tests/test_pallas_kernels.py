@@ -178,3 +178,18 @@ def test_plan_packed_rfft():
     with pytest.raises(ValueError):
         offt_tpu.plan(shape, "complex64", real=True, packed=True,
                       use_cache=False)  # planar required
+
+
+def test_pick_lane_tile_mosaic_rules():
+    """The lane tile must be a 128-multiple or the full extent (Mosaic
+    rule); regression for lanes=320*320 where halving a 768 guess finds
+    no legal value (hardware-only failure, caught on v5e)."""
+    pick = pf._pick_lane_tile
+    assert pick(320 * 320, 768) == 640          # largest 128-mult divisor
+    assert pick(256 * 256, 1024) == 1024
+    assert pick(24, 128) == 24                  # full extent fallback
+    assert pick(97 * 3, 512) == 97 * 3          # no 128-mult divisor
+    assert pick(256, 64) == 128 or pick(256, 64) == 256  # legalized
+    for lanes, tgt in [(320 * 320, 768), (768 * 768, 512), (1, 128)]:
+        tl = pick(lanes, tgt)
+        assert lanes % tl == 0 and (tl % 128 == 0 or tl == lanes)
