@@ -14,6 +14,7 @@ overlap and an Active Harmony tuner) as an idiomatic JAX/XLA/Pallas library:
 __version__ = "0.1.0"
 
 from .kernels import fft_1d
+from .kernels.pallas_fft import pack_rfft3d, unpack_rfft3d
 from .plan.api import (
     Plan,
     fft2d,
@@ -38,6 +39,8 @@ __all__ = [
     "irfft3d",
     "plan",
     "fft_1d",
+    "pack_rfft3d",
+    "unpack_rfft3d",
     "to_planar",
     "__version__",
 ]

@@ -1,9 +1,19 @@
 """Distribution: mesh construction and the shard_map pencil/slab pipelines."""
 
-from .mesh import COL, ROW, input_sharding, make_mesh, mesh_shape, output_sharding
-from .pencil import make_pencil_fft3d, pencil_pipeline
+from .mesh import (
+    COL,
+    ROW,
+    SLICE,
+    input_sharding,
+    make_mesh,
+    make_multislice_mesh,
+    mesh_shape,
+    output_sharding,
+)
+from .pencil import make_pencil_fft3d, make_phase_trials, pencil_pipeline
 
 __all__ = [
-    "COL", "ROW", "input_sharding", "make_mesh", "make_pencil_fft3d",
+    "COL", "ROW", "SLICE", "input_sharding", "make_mesh",
+    "make_multislice_mesh", "make_pencil_fft3d", "make_phase_trials",
     "mesh_shape", "output_sharding", "pencil_pipeline",
 ]

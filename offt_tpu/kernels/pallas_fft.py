@@ -47,7 +47,9 @@ DEFAULT_PRECISION = "highest"
 # vmem_limit_bytes=128 MiB). Large-shape kernels (512^3 slabs, padded-x
 # blocks) pass an explicit limit instead of refusing to fuse.
 _VMEM_DEFAULT = 16 << 20
-_VMEM_CAP = 100 << 20
+# probed ceiling is 128 MiB on v5e; 120 leaves headroom (and enables
+# tb=2 slab blocks at 768^2: 93.5 -> 88.0 ms full 768^3)
+_VMEM_CAP = 120 << 20
 
 
 def _vmem_params(est_bytes: int) -> dict:
