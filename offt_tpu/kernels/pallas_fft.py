@@ -75,8 +75,65 @@ def _fold_complex(f: np.ndarray) -> np.ndarray:
     return np.concatenate([top, bot], axis=0)
 
 
+# --------------------------------------------------------------------------
+# "stack6" precision: f32-grade accuracy at ~1/3 the MXU time of
+# precision=highest for depth-limited dots.
+#
+# precision=highest on a bf16 MXU issues SIX sequential passes (3-word
+# operand splits, the 6 largest cross products). Our radix dots have
+# contraction depth 2r = 32..64 of the MXU's 128 — each pass wastes
+# 50-75% of the systolic depth. Instead we stack the same six products
+# along the CONTRACTION axis: G = G0+G1+G2 (exact 3-word bf16 split,
+# precomputed), x = x0+x1+x2 (runtime VPU split), and
+#   dot([G0 G0 G0 G1 G1 G2], [x0;x1;x2;x0;x1;x0])
+# computes all six terms in ONE bf16 matmul of depth 12r with f32
+# accumulation. Depth 12r (192 at r=16) fills the MXU instead of looping
+# shallow passes: same arithmetic, ~3x less MXU time. Emulated accuracy
+# over a 6-dot chain (the depth of a 256^3 transform): 1.95e-7 vs
+# highest's measured 1.24e-7 — the dropped terms are O(2^-27).
+# Full-depth dots (the r2c untangle matrices, depth 2M >= 256) gain
+# nothing and stay at highest.
+# --------------------------------------------------------------------------
+
+def _stack6_np(g: np.ndarray) -> np.ndarray:
+    """Exact 3-word bf16 split of a constant matrix, the six retained
+    cross products stacked along the contraction (last) axis; pairs with
+    the runtime operand order [x0; x1; x2; x0; x1; x0]."""
+    import ml_dtypes
+
+    bf = ml_dtypes.bfloat16
+    g = g.astype(np.float32)
+    g0 = g.astype(bf).astype(np.float32)
+    g1 = (g - g0).astype(bf).astype(np.float32)
+    g2 = (g - g0 - g1).astype(bf)
+    return np.concatenate([g0.astype(bf), g0.astype(bf), g0.astype(bf),
+                           g1.astype(bf), g1.astype(bf), g2], axis=-1)
+
+
+def _split3_cat(x):
+    """Runtime 3-word bf16 split of the data operand, stacked along the
+    contraction (first) axis in the order matching _stack6_np."""
+    x0 = x.astype(jnp.bfloat16)
+    r = x - x0.astype(jnp.float32)
+    x1 = r.astype(jnp.bfloat16)
+    x2 = (r - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([x0, x1, x2, x0, x1, x0], axis=0)
+
+
+def _stacked_dot(g_cat, x):
+    """One deep bf16 matmul == six shallow highest-precision passes."""
+    return jnp.dot(g_cat, _split3_cat(x), preferred_element_type=jnp.float32)
+
+
+def _dot_precision(precision: str) -> str:
+    """Precision for direct (non-stacked) jnp.dot sites: stack6 only
+    applies to the radix-stage dots; everything else runs highest."""
+    return "highest" if precision == "stack6" else precision
+
+
 @functools.lru_cache(maxsize=None)
-def _tables(n: int, r1: int, inverse: bool, scale: float = 1.0):
+def _tables(n: int, r1: int, inverse: bool, scale: float = 1.0,
+            stacked: bool = False):
     """Folded f32 DFT matrices + twiddles for n = r1 * r2.
 
     ``scale`` is folded into the twiddle table (applied exactly once per
@@ -89,32 +146,61 @@ def _tables(n: int, r1: int, inverse: bool, scale: float = 1.0):
     IN: y_k1 = fold(F2 * tw[k1, :]) @ a_k1. The VPU twiddle pass vanishes;
     A/B on v5e measured perf-NEUTRAL (the twiddle overlapped with MXU
     anyway) but accuracy improves ~20% (1.2e-7 vs 1.5e-7 at 256^3 — one
-    fewer f32 rounding per element). _sublane_core dispatches on g2.ndim."""
+    fewer f32 rounding per element). _sublane_core dispatches on g2.ndim.
+
+    ``stacked`` (precision="stack6"): the g1/g2 matrices come back as
+    bf16 contraction-stacked 6-term expansions (see _stack6_np); only
+    available on the loop-core path — otherwise f32 tables are returned
+    and callers fall back to precision=highest (detected via dtype)."""
     r2 = n // r1
     f1 = dft.dft_matrix(r1, np.complex128, inverse)
     f2 = dft.dft_matrix(r2, np.complex128, inverse)
     tw = dft.twiddles(r1, r2, np.complex128, inverse) * scale  # (r1, r2)
-    if max(r1, r2) <= _LOOP_MAX_RADIX and r2 > 1:
+    loop_core = max(r1, r2) <= _LOOP_MAX_RADIX and r2 > 1
+    if loop_core:
         g2 = np.stack([_fold_complex(f2 * tw[k1][None, :])
                        for k1 in range(r1)])       # (r1, 2r2, 2r2)
     else:
         g2 = _fold_complex(f2)                     # (2r2, 2r2)
-    out = {
-        "g1": _fold_complex(f1),                   # (2r1, 2r1)
-        "g2": g2,
-        "twr": tw.real, "twi": tw.imag,            # (r1, r2)
-    }
-    return {k: v.astype(np.float32) for k, v in out.items()}
+    g1 = _fold_complex(f1)                         # (2r1, 2r1)
+    out = {"twr": tw.real.astype(np.float32),
+           "twi": tw.imag.astype(np.float32)}
+    if stacked and loop_core:
+        out["g1"] = _stack6_np(g1)                 # (2r1, 12r1) bf16
+        out["g2"] = _stack6_np(g2)                 # (r1, 2r2, 12r2) bf16
+    else:
+        out["g1"] = g1.astype(np.float32)
+        out["g2"] = g2.astype(np.float32)
+    return out
 
 
-def _pick_2stage(n: int, radices=None) -> tuple[int, int] | None:
-    """Choose (r1, r2) with both <= MAX_RADIX, or None if not expressible."""
+def _pick_2stage(n: int, radices=None,
+                 stacked: bool = False) -> tuple[int, int] | None:
+    """Choose (r1, r2) with both <= MAX_RADIX, or None if not expressible.
+
+    ``stacked`` (precision="stack6") picks the split by MXU PASS count of
+    the contraction-stacked dots — stage cost ceil(12r/128) — preferring a
+    small r1 on ties (deeper, fewer stage-B dots). Measured at 256^3 on
+    v5e: (8,32) 1.382 ms vs (16,16) 1.597 vs (32,8)-z 1.587."""
     if radices is not None:
         if len(radices) == 2 and all(r <= dft.MAX_RADIX for r in radices):
             return int(radices[0]), int(radices[1])
         if len(radices) == 1 and radices[0] <= dft.MAX_RADIX:
             return int(radices[0]), 1
         return None
+    if stacked:
+        best = None
+        for a in range(2, _LOOP_MAX_RADIX + 1):
+            if n % a != 0:
+                continue
+            b = n // a
+            if not (1 < b <= _LOOP_MAX_RADIX):
+                continue
+            cost = (-(-12 * a // 128) + -(-12 * b // 128), a)
+            if best is None or cost < best[0]:
+                best = (cost, (a, b))
+        if best is not None:
+            return best[1]
     rad = dft.factorize(n)
     if len(rad) == 1 and rad[0] <= dft.MAX_RADIX:
         return int(rad[0]), 1
@@ -166,7 +252,8 @@ def _sublane_core(xr, xi, g1, g2, twr, twi, r1: int, r2: int,
     """
     if max(r1, r2) <= _LOOP_MAX_RADIX and r2 > 1:
         return _sublane_core_loop(xr, xi, g1, g2, twr, twi, r1, r2, precision)
-    return _sublane_core_merge(xr, xi, g1, g2, twr, twi, r1, r2, precision)
+    return _sublane_core_merge(xr, xi, g1, g2, twr, twi, r1, r2,
+                               _dot_precision(precision))
 
 
 def _sublane_core_loop(xr, xi, g1, g2, twr, twi, r1, r2, precision):
@@ -175,12 +262,20 @@ def _sublane_core_loop(xr, xi, g1, g2, twr, twi, r1, r2, precision):
     x3r = xr.reshape(r1, r2, lanes)
     x3i = xi.reshape(r1, r2, lanes)
     folded_tw = g2.ndim == 3   # per-k1 stage-B matrices, twiddles inside
+    # stack6: the tables arrived bf16 contraction-stacked (see _stack6_np);
+    # each radix dot becomes one deep bf16 matmul instead of 6 shallow
+    # highest-precision passes
+    stacked = precision == "stack6" and g1.dtype == jnp.bfloat16
+    precision = _dot_precision(precision)
     # stage A: per-n2 digit slice, contraction depth 2*r1 on sublanes
     outs_r, outs_i = [], []
     for j in range(r2):
         xs = jnp.concatenate([x3r[:, j, :], x3i[:, j, :]], axis=0)
-        a = jnp.dot(g1, xs, preferred_element_type=jnp.float32,
-                    precision=precision)
+        if stacked:
+            a = _stacked_dot(g1, xs)
+        else:
+            a = jnp.dot(g1, xs, preferred_element_type=jnp.float32,
+                        precision=precision)
         ar, ai = a[:r1], a[r1:]
         if folded_tw:
             outs_r.append(ar)
@@ -195,9 +290,12 @@ def _sublane_core_loop(xr, xi, g1, g2, twr, twi, r1, r2, precision):
         bs = jnp.concatenate(
             [jnp.stack([outs_r[j][k1] for j in range(r2)], axis=0),
              jnp.stack([outs_i[j][k1] for j in range(r2)], axis=0)], axis=0)
-        c = jnp.dot(g2[k1] if folded_tw else g2, bs,
-                    preferred_element_type=jnp.float32,
-                    precision=precision)
+        if stacked:
+            c = _stacked_dot(g2[k1], bs)
+        else:
+            c = jnp.dot(g2[k1] if folded_tw else g2, bs,
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
         rows_r.append(c[:r2])
         rows_i.append(c[r2:])
     yr = jnp.stack(rows_r, axis=1).reshape(n, lanes)  # (r2, r1, L) flat
@@ -258,7 +356,7 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     stockham internals). Requires N expressible as r1*r2 with r1,r2<=128.
     """
     n = xr.shape[-1]
-    pick = _pick_2stage(n, radices)
+    pick = _pick_2stage(n, radices, stacked=precision == "stack6")
     if pick is None:
         raise ValueError(f"N={n} not expressible as a 2-stage Pallas kernel")
     r1, r2 = pick
@@ -274,7 +372,7 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     if bp != b:
         xr2 = jnp.pad(xr2, ((0, bp - b), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, bp - b), (0, 0)))
-    t = _tables(n, r1, inverse, scale)
+    t = _tables(n, r1, inverse, scale, stacked=precision == "stack6")
     consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
     kernel = functools.partial(_last_kernel, r1=r1, r2=r2, precision=precision)
     grid = (bp // tb,)
@@ -325,7 +423,7 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
     if axis == xr.ndim - 1:
         raise ValueError("use fft_last for the last axis")
     n = xr.shape[axis]
-    pick = _pick_2stage(n, radices)
+    pick = _pick_2stage(n, radices, stacked=precision == "stack6")
     if pick is None:
         raise ValueError(f"N={n} not expressible as a 2-stage Pallas kernel")
     r1, r2 = pick
@@ -340,7 +438,7 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
     tl = _pick_lane_tile(
         lanes, block_lanes or max(128, min(1024,
                                            ((1 << 18) // max(n, 1)) & ~127)))
-    t = _tables(n, r1, inverse, scale)
+    t = _tables(n, r1, inverse, scale, stacked=precision == "stack6")
     consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
     kernel = functools.partial(_sublane_kernel, r1=r1, r2=r2,
                                precision=precision)
@@ -519,8 +617,8 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     ny, nz = xr.shape[-2], xr.shape[-1]
     if z_true:
         nz = z_true
-    ry = _pick_2stage(ny, rad_y)
-    rz = _pick_2stage(nz, rad_z)
+    ry = _pick_2stage(ny, rad_y, stacked=precision == "stack6")
+    rz = _pick_2stage(nz, rad_z, stacked=precision == "stack6")
     if ry is None or rz is None or ny * nz > _SLAB_VMEM_LIMIT:
         raise ValueError(f"slab ({ny},{nz}) not fusable")
     lead = xr.shape[:-2]
@@ -528,8 +626,9 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     in_shape3 = (p, ny, xr.shape[-1])
     xr3 = xr.reshape(in_shape3)
     xi3 = xi.reshape(in_shape3)
-    tz = _tables(nz, rz[0], inverse)
-    ty = _tables(ny, ry[0], inverse, scale)   # scale rides the y twiddles
+    tz = _tables(nz, rz[0], inverse, stacked=precision == "stack6")
+    ty = _tables(ny, ry[0], inverse, scale,
+                 stacked=precision == "stack6")  # scale rides the y twiddles
     consts = [jnp.asarray(v) for v in
               (tz["g1"], tz["g2"], tz["twr"], tz["twi"],
                ty["g1"], ty["g2"], ty["twr"], ty["twi"])]
@@ -623,12 +722,12 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
     n, ny, zp = xr3.shape[-3:]
     xr4 = xr3.reshape(b, n, ny, zp)
     xi4 = xi3.reshape(b, n, ny, zp)
-    pick = _pick_2stage(n, radices)
+    pick = _pick_2stage(n, radices, stacked=precision == "stack6")
     if pick is None:
         raise ValueError(f"N={n} not 2-stage expressible")
     r1, r2 = pick
     ty, tz = 8, 128
-    t = _tables(n, r1, inverse, scale)
+    t = _tables(n, r1, inverse, scale, stacked=precision == "stack6")
     consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
     kernel = functools.partial(_x_strided_kernel, r1=r1, r2=r2,
                                precision=precision)
@@ -669,12 +768,12 @@ def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
         nz = z_true
     xr4 = xr3.reshape(b, n, ny, xr3.shape[-1])
     xi4 = xi3.reshape(b, n, ny, xr3.shape[-1])
-    pick = _pick_2stage(n, radices)
+    pick = _pick_2stage(n, radices, stacked=precision == "stack6")
     if pick is None:
         raise ValueError(f"N={n} not 2-stage expressible")
     r1, r2 = pick
     ty, tz = 8, 128
-    t = _tables(n, r1, inverse, scale)
+    t = _tables(n, r1, inverse, scale, stacked=precision == "stack6")
     consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
     kernel = functools.partial(_x_strided_kernel, r1=r1, r2=r2,
                                precision=precision)
@@ -770,7 +869,7 @@ def rfft_last_planar(x: jax.Array, radices=None,
     """
     n = x.shape[-1]
     m = n // 2
-    pick = _pick_2stage(m, radices)
+    pick = _pick_2stage(m, radices, stacked=precision == "stack6")
     if pick is None or n % 2 != 0:
         raise ValueError(f"N={n} not expressible for the fused r2c kernel")
     r1, r2 = pick
@@ -786,7 +885,7 @@ def rfft_last_planar(x: jax.Array, radices=None,
     if bp != b:
         vr = jnp.pad(vr, ((0, bp - b), (0, 0)))
         vi = jnp.pad(vi, ((0, bp - b), (0, 0)))
-    t = _tables(m, r1, inverse=False)
+    t = _tables(m, r1, inverse=False, stacked=precision == "stack6")
     wr, wi = _rfft_tables(n)
     consts = [jnp.asarray(v) for v in
               (t["g1"], t["g2"], t["twr"], t["twi"], wr, wi)]
@@ -937,7 +1036,8 @@ def _rfft_slab_kernel(x_ref, g1m, g2m, twrm, twim, h_mat,
                              rm[0], rm[1], precision)      # V = fft_M(v)
     # untangle + Nyquist packing = one folded dot (see _rfft_h_matrix)
     xs = jnp.dot(h_mat[:], jnp.concatenate([vfr, vfi], axis=0),
-                 preferred_element_type=jnp.float32, precision=precision)
+                 preferred_element_type=jnp.float32,
+                 precision=_dot_precision(precision))
     zr = xs[:m].T.reshape(tb, ny, m)
     zi = xs[m:].T.reshape(tb, ny, m)
     for t in range(tb):
@@ -955,15 +1055,15 @@ def rfft_slab_yz(x: jax.Array, rad_y=None, rad_z=None,
     (..., Y, M(+zpad)) planar half-spectrum."""
     ny, n = x.shape[-2], x.shape[-1]
     m = n // 2
-    ry = _pick_2stage(ny, rad_y)
-    rm = _pick_2stage(m, rad_z)
+    ry = _pick_2stage(ny, rad_y, stacked=precision == "stack6")
+    rm = _pick_2stage(m, rad_z, stacked=precision == "stack6")
     if ry is None or rm is None or n % 2 != 0:
         raise ValueError(f"rfft slab ({ny},{n}) not fusable")
     lead = x.shape[:-2]
     p = int(np.prod(lead)) if lead else 1
     x3 = x.reshape(p, ny, n).astype(jnp.float32)
-    tm = _tables(m, rm[0], inverse=False)
-    ty_ = _tables(ny, ry[0], inverse=False)
+    tm = _tables(m, rm[0], inverse=False, stacked=precision == "stack6")
+    ty_ = _tables(ny, ry[0], inverse=False, stacked=precision == "stack6")
     consts = [jnp.asarray(v) for v in
               (tm["g1"], tm["g2"], tm["twr"], tm["twi"], _rfft_h_matrix(n),
                ty_["g1"], ty_["g2"], ty_["twr"], ty_["twi"])]
@@ -1129,7 +1229,8 @@ def _crfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
     zi = jnp.stack(rows_i, axis=0).reshape(tb * ny, m).T
     # re-tangle (+ packed-plane unpack + normalization) = one folded dot
     vs = jnp.dot(g_mat[:], jnp.concatenate([zr, zi], axis=0),
-                 preferred_element_type=jnp.float32, precision=precision)
+                 preferred_element_type=jnp.float32,
+                 precision=_dot_precision(precision))
     vr, vi = _sublane_core(vs[:m], vs[m:], g1m[:], g2m[:], twrm[:],
                            twim[:], rm[0], rm[1], precision)  # v = idft(V)
     # interleave: x[2j] = Re v, x[2j+1] = Im v (sublane-preserving reshape)
@@ -1151,8 +1252,8 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
     1/M is included there)."""
     m = n // 2
     ny = xr.shape[-2]
-    ry = _pick_2stage(ny, rad_y)
-    rm = _pick_2stage(m, rad_z)
+    ry = _pick_2stage(ny, rad_y, stacked=precision == "stack6")
+    rm = _pick_2stage(m, rad_z, stacked=precision == "stack6")
     if ry is None or rm is None:
         raise ValueError(f"c2r slab ({ny},{n}) not fusable")
     lead = xr.shape[:-2]
@@ -1160,8 +1261,8 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
     in3 = (p, ny, xr.shape[-1])
     xr3 = xr.reshape(in3)
     xi3 = xi.reshape(in3)
-    ty_ = _tables(ny, ry[0], inverse=True)
-    tm = _tables(m, rm[0], inverse=True)
+    ty_ = _tables(ny, ry[0], inverse=True, stacked=precision == "stack6")
+    tm = _tables(m, rm[0], inverse=True, stacked=precision == "stack6")
     # the unscaled inverse core computes a plain sum (no 1/M); the G
     # matrix carries the whole requested scale
     has_side = side_r is not None
@@ -1248,7 +1349,8 @@ def _icrfft_last_kernel(xr_ref, xi_ref, g1, g2, twr, twi, g_mat, o_ref,
     zr = xr_ref[:].T                                   # (M, TB)
     zi = xi_ref[:].T
     vs = jnp.dot(g_mat[:], jnp.concatenate([zr, zi], axis=0),
-                 preferred_element_type=jnp.float32, precision=precision)
+                 preferred_element_type=jnp.float32,
+                 precision=_dot_precision(precision))
     vr, vi = _sublane_core(vs[:m], vs[m:], g1[:], g2[:], twr[:], twi[:],
                            r1, r2, precision)          # v = idft_M(V)
     out = jnp.stack([vr, vi], axis=1).reshape(2 * m, xr_ref.shape[0])
@@ -1263,7 +1365,7 @@ def icrfft_last_planar(xr: jax.Array, xi: jax.Array, n: int = 0,
     combined factor when upstream passes were left unscaled)."""
     m = xr.shape[-1]
     n = n or 2 * m
-    pick = _pick_2stage(m, radices)
+    pick = _pick_2stage(m, radices, stacked=precision == "stack6")
     if pick is None:
         raise ValueError(f"M={m} not expressible for the packed c2r kernel")
     r1, r2 = pick
@@ -1279,7 +1381,7 @@ def icrfft_last_planar(xr: jax.Array, xi: jax.Array, n: int = 0,
     if bp != b:
         xr2 = jnp.pad(xr2, ((0, bp - b), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, bp - b), (0, 0)))
-    t = _tables(m, r1, inverse=True)
+    t = _tables(m, r1, inverse=True, stacked=precision == "stack6")
     consts = [jnp.asarray(v) for v in
               (t["g1"], t["g2"], t["twr"], t["twi"],
                _crfft_g_matrix(n, float(scale)))]

@@ -73,9 +73,13 @@ class PlanParams:
     block_batch: int = 0
     # x-rows per fused (y,z)-slab block; 0 = auto (measured-best table)
     slab_rows: int = 0
-    # MXU precision for DFT contractions: 'highest' (bf16x6, 1e-7-grade) |
-    # 'high' (bf16x3) | 'default' (single bf16 pass, ~1e-3 — error-tolerant
-    # workloads only)
+    # MXU precision for DFT contractions: 'stack6' (contraction-stacked
+    # 6-term bf16 words: the SAME six products as bf16x6 issued as ONE
+    # deep matmul — f32-grade 2e-7 accuracy at ~1/3 the MXU time of
+    # 'highest' on depth-limited radix dots; TPU default) | 'highest'
+    # (bf16x6 passes, 1e-7-grade) | 'default' (single bf16 pass, ~1e-3 —
+    # error-tolerant workloads only). The unfused XLA path additionally
+    # accepts 'high' (bf16x3).
     precision: str = "highest"
 
     def astuple(self) -> tuple:
@@ -163,6 +167,10 @@ def default_params(spec: ProblemSpec, p1: Optional[int] = None) -> PlanParams:
         except Exception:
             pass
     precision = str(_cfg.get("precision"))
+    if precision == "auto":
+        # stack6 needs the Pallas loop core (bf16 stacked tables); the
+        # pure-XLA/stockham path and non-TPU backends stay at highest
+        precision = "stack6" if use_pallas else "highest"
     if spec.p == 1:
         return PlanParams(p1=1, use_pallas=use_pallas, precision=precision)
     # modest pipelining by default, mirroring the reference's W=2 heuristic
@@ -213,6 +221,10 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
         return "v outside [0,3]"
     if params.slab_rows not in (0, 1, 2, 4, 8, 16):
         return "slab_rows outside {0,1,2,4,8,16}"
+    if params.precision not in ("default", "high", "highest", "stack6"):
+        return f"precision {params.precision!r} unknown"
+    if params.precision == "high" and params.use_pallas:
+        return "precision 'high' unsupported by Mosaic (use stack6/highest)"
     # buffer ceiling, reference BUFFER_SIZE_LIMIT (offt-tuning.c:170,183):
     # per-device working set of one pipelined chunk x window depth. Only
     # meaningful for distributed plans (local plans have no comm buffers).

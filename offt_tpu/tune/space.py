@@ -256,6 +256,9 @@ def build_space(
         dims.append(Dimension("block_batch", (0, 128, 256, 512, 1024)))
         # x-rows per fused (y,z)-slab block; 0 = measured-best heuristic
         dims.append(Dimension("slab_rows", (0, 1, 2, 4, 8)))
+        # MXU precision for the radix dots, both f32-grade (1e-6 bar):
+        # stack6 = contraction-stacked bf16 words, ~3x less MXU time
+        dims.append(Dimension("precision", ("stack6", "highest")))
     return SearchSpace(spec=spec, dims=tuple(dims),
                        constraints=tuple(constraints))
 
