@@ -1181,11 +1181,11 @@ def rfft3d_planar(x: jax.Array, rad_z=None, rad_y=None, rad_x=None,
 
     Two HBM passes (fused r2c+y slab, pitched x kernel at M aligned
     lanes). With ``packed=True`` returns the packed (..., M) half-spectrum
-    (plane 0 = plane0 + i*planeM) — the TPU-native format, measured 0.78 ms
-    at 256^3 on v5e (3.3x XLA rfftn); spectral pipelines that multiply in
-    frequency space and invert never need to unpack. Default returns the
-    numpy rfftn layout (..., M+1) via one extra assembly pass (~1.8 ms,
-    1.4x XLA). ``rad_z`` factors M = N//2."""
+    (plane 0 = plane0 + i*planeM) — the TPU-native format, loop-timed
+    1.00 ms at 256^3 on v5e with stack6 (2.2x XLA rfftn); spectral
+    pipelines that multiply in frequency space and invert never need to
+    unpack. Default returns the numpy rfftn layout (..., M+1) via one
+    extra assembly pass (1.31 ms, 1.7x XLA). ``rad_z`` factors M = N//2."""
     n = x.shape[-1]
     m = n // 2
     yr, yi = rfft_slab_yz(x, rad_y=rad_y, rad_z=rad_z, precision=precision,

@@ -48,6 +48,70 @@ def time_fn(fn: Callable, args: tuple, k_small: int = 2, k_large: int = 12,
     return max((t_l - t_s) / (k_large - k_small), 1e-9)
 
 
+def time_fn_looped(body, carry, k1: int = 4, k2: int = 44,
+                   tries: int = 2) -> float:
+    """Per-iteration seconds for ``carry = body(carry)`` timed INSIDE one
+    jit program via lax.fori_loop, differencing two loop lengths.
+
+    This is the trustworthy timer for non-chainable functions (e.g. r2c,
+    whose output shape differs from its input): re-issuing the same
+    arguments k times from the host is unreliable through tunneled TPU
+    runtimes (observed 0.0-ms and 1e-9 artifacts — the k executions hide
+    behind constant dispatch/readback jitter). Inside the loop every
+    iteration is data-dependent on the last, so the device must run all k.
+
+    ``body`` must return a carry of the same structure; use ``fence``
+    to pin a same-shape output to a scalar derived from the real result:
+
+        def body(x):
+            yr, yi = rfft(x)
+            return fence(x, yr[0, 0, 0])
+    """
+    import jax
+
+    def runner(k):
+        @jax.jit
+        def run(c):
+            return jax.lax.fori_loop(0, k, lambda i, c: body(c), c)
+
+        out = run(carry)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = float(leaf[(0,) * leaf.ndim])      # warm compile + drain
+        best = float("inf")
+        for _i in range(tries):
+            t0 = time.perf_counter()
+            out = run(carry)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            _ = float(leaf[(0,) * leaf.ndim])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    ta = runner(k1)
+    tb = runner(k2)
+    return max((tb - ta) / (k2 - k1), 1e-9)
+
+
+def fence(x, dep):
+    """Return ``x`` data-dependent on ``dep`` so a fori_loop timing body
+    cannot be elided, hoisted, or reordered.
+
+    NOT an optimization_barrier: XLA drops a barrier operand whose tuple
+    output is unused, silently DCE-ing the whole timed computation
+    (measured: zero loop slope on v5e). Instead the dependency is a VALUE
+    edge — ``dep * 1e-45`` (runtime-zero after underflow, but not
+    statically foldable) is added into one row of ``x`` via an in-place
+    dynamic_update_slice; the next iteration's input is bit-identical yet
+    data-dependent on this iteration's output."""
+    import jax
+    import jax.numpy as jnp
+
+    eps = (dep * 1e-45).astype(x.dtype)
+    sizes = (1,) * (x.ndim - 1) + (min(128, x.shape[-1]),)
+    zeros = (0,) * x.ndim
+    row = jax.lax.dynamic_slice(x, zeros, sizes)
+    return jax.lax.dynamic_update_slice(x, row + eps, zeros)
+
+
 def fft3d_breakdown(shape, params=None, dtype="complex64",
                     mesh=None) -> dict[str, float]:
     """Per-axis + fused timing (seconds) for a 3-D c2c plan.

@@ -466,7 +466,15 @@ def plan(
     # (ROW, COL) axes; a multi-slice DCN axis shards batch, not space
     p = 1 if mesh is None else (
         meshlib.mesh_shape(mesh)[0] * meshlib.mesh_shape(mesh)[1])
-    spec = ProblemSpec(shape=tuple(shape), dtype=str(jnp.dtype(dtype)),
+    # real transforms accept the REAL dtype (FFTW r2c convention) and
+    # normalize to the transform's complex dtype — every fast-path gate
+    # keys on the complex name, so an unnormalized "float32" would
+    # silently route r2c onto the unfused fallback (and break packed=True)
+    dt = jnp.dtype(dtype)
+    if real and dt.kind == "f":
+        dt = jnp.dtype("complex64" if dt == jnp.dtype("float32")
+                       else "complex128")
+    spec = ProblemSpec(shape=tuple(shape), dtype=str(dt),
                        real=real, inverse=inverse, p=p,
                        batch_sharded=batch_sharded)
     if params is None and use_cache:
