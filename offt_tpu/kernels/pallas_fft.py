@@ -256,6 +256,114 @@ def _sublane_core(xr, xi, g1, g2, twr, twi, r1: int, r2: int,
                                _dot_precision(precision))
 
 
+# --------------------------------------------------------------------------
+# generalized N-stage core (1, 2, or 3 radix stages) over a flat consts
+# list, so kernels can carry per-axis table lists of varying length.
+# 3-stage = stage A (radix r1 dot per digit slice) + VPU twiddle + the
+# folded 2-stage core per k1-group: under stack6 the per-axis MXU pass
+# count drops (512 = (8,8,8): 3 passes vs (16,32): 5).
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _core_tables(n: int, radices: tuple, inverse: bool, scale: float = 1.0,
+                 stacked: bool = False) -> tuple:
+    """Constant tables for _core_apply as a flat tuple of arrays.
+
+    len(radices)==1: [G]                       (folded dense DFT)
+    len(radices)==2: [g1, g2, twr, twi]        (= _tables layout)
+    len(radices)==3: [gA, twAr, twAi, g1, g2, twr, twi]
+                     (outer stage-A matrix + outer (r1, n/r1) twiddle +
+                      inner 2-stage tables for m = r2*r3; ``scale`` rides
+                      the INNER tables so it is applied exactly once)
+    """
+    if len(radices) == 1:
+        g = _fold_complex(dft.dft_matrix(radices[0], np.complex128, inverse)
+                          * scale)
+        return (g.astype(np.float32),)
+    if len(radices) == 2:
+        t = _tables(n, radices[0], inverse, scale, stacked)
+        return (t["g1"], t["g2"], t["twr"], t["twi"])
+    r1, r2, r3 = radices
+    m = r2 * r3
+    ga = _fold_complex(dft.dft_matrix(r1, np.complex128, inverse))
+    twa = dft.twiddles(r1, m, np.complex128, inverse)       # (r1, m)
+    if stacked and r1 <= _LOOP_MAX_RADIX:
+        ga = _stack6_np(ga)
+    else:
+        ga = ga.astype(np.float32)
+    inner = _core_tables(m, (r2, r3), inverse, scale, stacked)
+    return (ga, twa.real.astype(np.float32), twa.imag.astype(np.float32),
+            *inner)
+
+
+def _core_apply(xr, xi, consts: list, radices: tuple,
+                precision: str = DEFAULT_PRECISION):
+    """FFT over the first axis of (N, L) planar vectors with 1-3 radix
+    stages; natural output order (DIT: flat output index composes as
+    k_last * (earlier radices product) + ... + k1)."""
+    if len(radices) == 1:
+        g = consts[0]
+        xs = jnp.concatenate([xr, xi], axis=0)
+        r = radices[0]
+        y = jnp.dot(g, xs, preferred_element_type=jnp.float32,
+                    precision=_dot_precision(precision))
+        return y[:r], y[r:]
+    if len(radices) == 2:
+        g1, g2, twr, twi = consts
+        return _sublane_core(xr, xi, g1, g2, twr, twi,
+                             radices[0], radices[1], precision)
+    r1 = radices[0]
+    m = radices[1] * radices[2]
+    lanes = xr.shape[-1]
+    ga, twar, twai = consts[0], consts[1], consts[2]
+    inner = consts[3:]
+    stacked = precision == "stack6" and ga.dtype == jnp.bfloat16
+    x3r = xr.reshape(r1, m, lanes)
+    x3i = xi.reshape(r1, m, lanes)
+    # stage A: per-digit-slice dot over the r1 axis, then the outer
+    # twiddle W_n^{k1 j} on the VPU (folding it into matrices would need
+    # per-(k1, j) copies — the VPU mul overlaps with the MXU anyway)
+    outs_r, outs_i = [], []
+    for j in range(m):
+        xs = jnp.concatenate([x3r[:, j, :], x3i[:, j, :]], axis=0)
+        if stacked:
+            a = _stacked_dot(ga, xs)
+        else:
+            a = jnp.dot(ga, xs, preferred_element_type=jnp.float32,
+                        precision=_dot_precision(precision))
+        ar, ai = a[:r1], a[r1:]
+        outs_r.append(ar * twar[:, j:j + 1] - ai * twai[:, j:j + 1])
+        outs_i.append(ar * twai[:, j:j + 1] + ai * twar[:, j:j + 1])
+    # per-k1 group: inner transform of length m over the j axis
+    rows_r, rows_i = [], []
+    for k1 in range(r1):
+        br = jnp.stack([outs_r[j][k1] for j in range(m)], axis=0)
+        bi = jnp.stack([outs_i[j][k1] for j in range(m)], axis=0)
+        yr, yi = _core_apply(br, bi, inner, radices[1:], precision)
+        rows_r.append(yr)
+        rows_i.append(yi)
+    n = r1 * m
+    yr = jnp.stack(rows_r, axis=1).reshape(n, lanes)  # flat k_inner*r1 + k1
+    yi = jnp.stack(rows_i, axis=1).reshape(n, lanes)
+    return yr, yi
+
+
+def _pick_stages(n: int, radices=None, stacked: bool = False):
+    """Radix stages for _core_apply: an explicit 1-3 stage tuple (3-stage
+    requires every radix <= _LOOP_MAX_RADIX), else the 2-stage pick."""
+    if radices is not None:
+        rad = tuple(int(r) for r in radices)
+        prod = 1
+        for r in rad:
+            prod *= r
+        if prod != n or len(rad) > 3 or any(r > dft.MAX_RADIX for r in rad):
+            return None
+        if len(rad) == 3 and (max(rad) > _LOOP_MAX_RADIX or min(rad) < 2):
+            return None
+        return rad
+    return _pick_2stage(n, None, stacked)
+
+
 def _sublane_core_loop(xr, xi, g1, g2, twr, twi, r1, r2, precision):
     n = r1 * r2
     lanes = xr.shape[-1]
@@ -338,11 +446,11 @@ def _sublane_core_merge(xr, xi, g1, g2, twr, twi, r1, r2, precision):
 # last-axis kernel: VMEM-transpose sandwich around the sublane core
 # --------------------------------------------------------------------------
 
-def _last_kernel(xr_ref, xi_ref, g1, g2, twr, twi, or_ref, oi_ref,
-                 *, r1: int, r2: int, precision: str = DEFAULT_PRECISION):
-    yr, yi = _sublane_core(xr_ref[:].T, xi_ref[:].T,
-                           g1[:], g2[:], twr[:], twi[:],
-                           r1, r2, precision)
+def _last_kernel(*refs, radices: tuple, precision: str = DEFAULT_PRECISION):
+    xr_ref, xi_ref = refs[0], refs[1]
+    consts = [r[:] for r in refs[2:-2]]
+    or_ref, oi_ref = refs[-2], refs[-1]
+    yr, yi = _core_apply(xr_ref[:].T, xi_ref[:].T, consts, radices, precision)
     or_ref[:] = yr.T
     oi_ref[:] = yi.T
 
@@ -353,13 +461,12 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     """Batched FFT along the last axis of planar (..., N) float32 arrays.
 
     Returns (yr, yi). No 1/N scaling on inverse (caller handles, matching
-    stockham internals). Requires N expressible as r1*r2 with r1,r2<=128.
+    stockham internals). Requires N expressible in 1-3 radix stages.
     """
     n = xr.shape[-1]
-    pick = _pick_2stage(n, radices, stacked=precision == "stack6")
-    if pick is None:
-        raise ValueError(f"N={n} not expressible as a 2-stage Pallas kernel")
-    r1, r2 = pick
+    rad = _pick_stages(n, radices, stacked=precision == "stack6")
+    if rad is None:
+        raise ValueError(f"N={n} not expressible as a Pallas kernel")
     lead = xr.shape[:-1]
     b = int(np.prod(lead)) if lead else 1
     xr2 = xr.reshape(b, n)
@@ -372,9 +479,10 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     if bp != b:
         xr2 = jnp.pad(xr2, ((0, bp - b), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, bp - b), (0, 0)))
-    t = _tables(n, r1, inverse, scale, stacked=precision == "stack6")
-    consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
-    kernel = functools.partial(_last_kernel, r1=r1, r2=r2, precision=precision)
+    consts = [jnp.asarray(c) for c in
+              _core_tables(n, rad, inverse, scale,
+                           stacked=precision == "stack6")]
+    kernel = functools.partial(_last_kernel, radices=rad, precision=precision)
     grid = (bp // tb,)
     row_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -399,13 +507,13 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
 # sublane-axis kernel (y / x axes of a 3-D array: zero transposes)
 # --------------------------------------------------------------------------
 
-def _sublane_kernel(xr_ref, xi_ref, g1, g2, twr, twi,
-                    or_ref, oi_ref, *, r1: int, r2: int,
+def _sublane_kernel(*refs, radices: tuple,
                     precision: str = DEFAULT_PRECISION):
-    # refs are (1, N, lanes) blocks
-    yr, yi = _sublane_core(xr_ref[0], xi_ref[0],
-                           g1[:], g2[:], twr[:], twi[:],
-                           r1, r2, precision)
+    # data refs are (1, N, lanes) blocks
+    xr_ref, xi_ref = refs[0], refs[1]
+    consts = [r[:] for r in refs[2:-2]]
+    or_ref, oi_ref = refs[-2], refs[-1]
+    yr, yi = _core_apply(xr_ref[0], xi_ref[0], consts, radices, precision)
     or_ref[0] = yr
     oi_ref[0] = yi
 
@@ -417,16 +525,15 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
 
     The array is viewed as (prefix, N, lanes) with lanes = product of the
     trailing dims; each grid cell transforms one (N, lane-tile) block with
-    two sublane-axis MXU contractions — no data transposition anywhere.
+    sublane-axis MXU contractions — no data transposition anywhere.
     """
     axis = axis % xr.ndim
     if axis == xr.ndim - 1:
         raise ValueError("use fft_last for the last axis")
     n = xr.shape[axis]
-    pick = _pick_2stage(n, radices, stacked=precision == "stack6")
-    if pick is None:
-        raise ValueError(f"N={n} not expressible as a 2-stage Pallas kernel")
-    r1, r2 = pick
+    rad = _pick_stages(n, radices, stacked=precision == "stack6")
+    if rad is None:
+        raise ValueError(f"N={n} not expressible as a Pallas kernel")
     pre = int(np.prod(xr.shape[:axis])) if axis else 1
     lanes = int(np.prod(xr.shape[axis + 1:]))
     shape3 = (pre, n, lanes)
@@ -438,9 +545,10 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
     tl = _pick_lane_tile(
         lanes, block_lanes or max(128, min(1024,
                                            ((1 << 18) // max(n, 1)) & ~127)))
-    t = _tables(n, r1, inverse, scale, stacked=precision == "stack6")
-    consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
-    kernel = functools.partial(_sublane_kernel, r1=r1, r2=r2,
+    consts = [jnp.asarray(c) for c in
+              _core_tables(n, rad, inverse, scale,
+                           stacked=precision == "stack6")]
+    kernel = functools.partial(_sublane_kernel, radices=rad,
                                precision=precision)
     grid = (pre, lanes // tl)
     blk = pl.BlockSpec((1, n, tl), lambda i, j: (i, 0, j),
@@ -466,7 +574,7 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
 # --------------------------------------------------------------------------
 
 def can_use_pallas(n: int, radices=None) -> bool:
-    return _pick_2stage(n, radices) is not None
+    return _pick_stages(n, radices) is not None
 
 
 def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
@@ -577,30 +685,31 @@ _SLAB_VMEM_LIMIT = 1 << 20
 _SLAB_VMEM_PLANES = 24
 
 
-def _slab_kernel(xr_ref, xi_ref, g1z, g2z, twrz, twiz, g1y, g2y, twry, twiy,
-                 or_ref, oi_ref, *, rz: tuple, ry: tuple,
+def _slab_kernel(*refs, rz: tuple, ry: tuple, ncz: int,
                  precision: str = DEFAULT_PRECISION):
     # blocks are (TB, Y, Z): TB x-rows per block (bigger DMAs for small
     # slabs); the z stage batches all TB*Y pencils in one transposed core
     # call, the y stage runs per-row (y must be on sublanes per slab)
+    xr_ref, xi_ref = refs[0], refs[1]
+    cz = [r[:] for r in refs[2:2 + ncz]]
+    cy = [r[:] for r in refs[2 + ncz:-2]]
+    or_ref, oi_ref = refs[-2], refs[-1]
     tb, ny, nz = xr_ref.shape
     xr = xr_ref[:].reshape(tb * ny, nz)
     xi = xi_ref[:].reshape(tb * ny, nz)
-    zr, zi = _sublane_core(xr.T, xi.T, g1z[:], g2z[:], twrz[:], twiz[:],
-                           rz[0], rz[1], precision)          # (Z, TB*Y)
+    zr, zi = _core_apply(xr.T, xi.T, cz, rz, precision)      # (Z, TB*Y)
     zr = zr.T.reshape(tb, ny, nz)
     zi = zi.T.reshape(tb, ny, nz)
     for t in range(tb):
-        yr, yi = _sublane_core(zr[t], zi[t], g1y[:], g2y[:], twry[:], twiy[:],
-                               ry[0], ry[1], precision)      # (Y, Z)
+        yr, yi = _core_apply(zr[t], zi[t], cy, ry, precision)  # (Y, Z)
         or_ref[t] = yr
         oi_ref[t] = yi
 
 
 def can_fuse_slab(ny: int, nz: int, rad_y=None, rad_z=None) -> bool:
     return (ny * nz <= _SLAB_VMEM_LIMIT
-            and _pick_2stage(ny, rad_y) is not None
-            and _pick_2stage(nz, rad_z) is not None)
+            and _pick_stages(ny, rad_y) is not None
+            and _pick_stages(nz, rad_z) is not None)
 
 
 def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
@@ -617,8 +726,8 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     ny, nz = xr.shape[-2], xr.shape[-1]
     if z_true:
         nz = z_true
-    ry = _pick_2stage(ny, rad_y, stacked=precision == "stack6")
-    rz = _pick_2stage(nz, rad_z, stacked=precision == "stack6")
+    ry = _pick_stages(ny, rad_y, stacked=precision == "stack6")
+    rz = _pick_stages(nz, rad_z, stacked=precision == "stack6")
     if ry is None or rz is None or ny * nz > _SLAB_VMEM_LIMIT:
         raise ValueError(f"slab ({ny},{nz}) not fusable")
     lead = xr.shape[:-2]
@@ -626,13 +735,12 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     in_shape3 = (p, ny, xr.shape[-1])
     xr3 = xr.reshape(in_shape3)
     xi3 = xi.reshape(in_shape3)
-    tz = _tables(nz, rz[0], inverse, stacked=precision == "stack6")
-    ty = _tables(ny, ry[0], inverse, scale,
-                 stacked=precision == "stack6")  # scale rides the y twiddles
-    consts = [jnp.asarray(v) for v in
-              (tz["g1"], tz["g2"], tz["twr"], tz["twi"],
-               ty["g1"], ty["g2"], ty["twr"], ty["twi"])]
-    kernel = functools.partial(_slab_kernel, rz=rz, ry=ry, precision=precision)
+    stk = precision == "stack6"
+    cz = _core_tables(nz, rz, inverse, stacked=stk)
+    cy = _core_tables(ny, ry, inverse, scale, stacked=stk)  # scale rides y
+    consts = [jnp.asarray(v) for v in (*cz, *cy)]
+    kernel = functools.partial(_slab_kernel, rz=rz, ry=ry, ncz=len(cz),
+                               precision=precision)
     # multiple x-rows per block (bigger DMAs; block_rows = tunable override).
     # Measured on v5e: tb=4 at 256^2 (2.25 -> 2.07 ms full 256^3),
     # tb=2 at 512^2 (17.8 -> 17.4 ms full 512^3), tb=8 at <=128^2 slabs.
@@ -680,14 +788,15 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
 _STRIDE_PAD = 8
 
 
-def _x_strided_kernel(xr_ref, xi_ref, g1, g2, twr, twi, or_ref, oi_ref,
-                      *, r1: int, r2: int, precision: str):
-    # blocks are (1, X, TY, TZ)
+def _x_strided_kernel(*refs, radices: tuple, precision: str):
+    # data blocks are (1, X, TY, TZ)
+    xr_ref, xi_ref = refs[0], refs[1]
+    consts = [r[:] for r in refs[2:-2]]
+    or_ref, oi_ref = refs[-2], refs[-1]
     n, ty, z = xr_ref.shape[1], xr_ref.shape[2], xr_ref.shape[3]
     xr = xr_ref[0].reshape(n, ty * z)
     xi = xi_ref[0].reshape(n, ty * z)
-    yr, yi = _sublane_core(xr, xi, g1[:], g2[:], twr[:], twi[:],
-                           r1, r2, precision)
+    yr, yi = _core_apply(xr, xi, consts, radices, precision)
     or_ref[0] = yr.reshape(n, ty, z)
     oi_ref[0] = yi.reshape(n, ty, z)
 
@@ -702,7 +811,7 @@ def can_use_padded_x(n: int, ny: int, nz: int, radices=None) -> bool:
     """Blocks are (X, 8, 128): sublane dim must divide 8, minor 128
     (Mosaic block rules); the working set must fit the RAISED vmem limit
     (v5e accepts up to ~100 MiB scoped vmem — n=2048 still qualifies)."""
-    return (_pick_2stage(n, radices) is not None
+    return (_pick_stages(n, radices) is not None
             and ny % 8 == 0 and nz % 128 == 0
             and _X_VMEM_BLOCKS * n * 8 * 128 * 4 <= _VMEM_CAP)
 
@@ -722,14 +831,14 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
     n, ny, zp = xr3.shape[-3:]
     xr4 = xr3.reshape(b, n, ny, zp)
     xi4 = xi3.reshape(b, n, ny, zp)
-    pick = _pick_2stage(n, radices, stacked=precision == "stack6")
-    if pick is None:
-        raise ValueError(f"N={n} not 2-stage expressible")
-    r1, r2 = pick
+    rad = _pick_stages(n, radices, stacked=precision == "stack6")
+    if rad is None:
+        raise ValueError(f"N={n} not expressible")
     ty, tz = 8, 128
-    t = _tables(n, r1, inverse, scale, stacked=precision == "stack6")
-    consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
-    kernel = functools.partial(_x_strided_kernel, r1=r1, r2=r2,
+    consts = [jnp.asarray(c) for c in
+              _core_tables(n, rad, inverse, scale,
+                           stacked=precision == "stack6")]
+    kernel = functools.partial(_x_strided_kernel, radices=rad,
                                precision=precision)
     blk = pl.BlockSpec((1, n, ty, tz), lambda i, j, k: (i, 0, j, k),
                        memory_space=pltpu.VMEM)
@@ -768,14 +877,14 @@ def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
         nz = z_true
     xr4 = xr3.reshape(b, n, ny, xr3.shape[-1])
     xi4 = xi3.reshape(b, n, ny, xr3.shape[-1])
-    pick = _pick_2stage(n, radices, stacked=precision == "stack6")
-    if pick is None:
-        raise ValueError(f"N={n} not 2-stage expressible")
-    r1, r2 = pick
+    rad = _pick_stages(n, radices, stacked=precision == "stack6")
+    if rad is None:
+        raise ValueError(f"N={n} not expressible")
     ty, tz = 8, 128
-    t = _tables(n, r1, inverse, scale, stacked=precision == "stack6")
-    consts = [jnp.asarray(t[k]) for k in ("g1", "g2", "twr", "twi")]
-    kernel = functools.partial(_x_strided_kernel, r1=r1, r2=r2,
+    consts = [jnp.asarray(c) for c in
+              _core_tables(n, rad, inverse, scale,
+                           stacked=precision == "stack6")]
+    kernel = functools.partial(_x_strided_kernel, radices=rad,
                                precision=precision)
     blk = pl.BlockSpec((1, n, ty, tz), lambda i, j, k: (i, 0, j, k),
                        memory_space=pltpu.VMEM)

@@ -246,6 +246,12 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
                 prod *= r
             if prod != n or any(r > dft.MAX_RADIX for r in rad):
                 return f"radices {rad} invalid for N={n}"
+            # kernel core limits: <=3 stages; 3-stage radices <=32
+            # (pallas_fft._pick_stages / _LOOP_MAX_RADIX)
+            if len(rad) > 3:
+                return f"radices {rad}: more than 3 kernel stages"
+            if len(rad) == 3 and max(rad) > 32:
+                return f"radices {rad}: 3-stage radices must be <=32"
     return None
 
 

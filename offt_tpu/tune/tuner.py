@@ -32,6 +32,25 @@ from .strategies import Strategy, make_strategy
 INF = float("inf")
 
 
+def _chained_diff(chain: Callable[[int], float], k_small: int, k_large: int,
+                  tries: int) -> float:
+    """Per-iteration seconds from two chain lengths, hardened against the
+    zero-slope artifact of tunneled runtimes (re-issued executions hiding
+    behind constant dispatch/readback jitter — observed 1e-9 "winners" in
+    round-1 hardware tuning logs). On a non-positive or sub-noise slope
+    the long chain is escalated 4x (twice) before giving up with INF, so
+    an unmeasurable candidate can never rank first."""
+    chain(k_small)  # warm
+    for _ in range(3):
+        t_s = min(chain(k_small) for _ in range(tries))
+        t_l = min(chain(k_large) for _ in range(tries))
+        d = t_l - t_s
+        if d > 0.05 * t_s:
+            return d / (k_large - k_small)
+        k_large *= 4
+    return INF
+
+
 def _default_timer(reps: int = 3, inner: int = 4) -> Callable[[Plan], float]:
     """Time one plan execution (seconds) via chained-execution differencing
     (see bench.py for why block_until_ready cannot be trusted on tunneled
@@ -422,10 +441,7 @@ def tune(
                 _ = float(leaf[(0,) * leaf.ndim])
                 return time.perf_counter() - t0
 
-            chain(1)
-            t_s = min(chain(1) for _ in range(tries))
-            t_l = min(chain(k_large) for _ in range(tries))
-            return max((t_l - t_s) / (k_large - 1), 1e-9)
+            return _chained_diff(chain, 1, k_large, tries)
 
         # FAST_TUNING analogue (offt-compute.c:3538-3548 extrapolation
         # window): coarse timing during the search, precise re-measurement
@@ -473,10 +489,7 @@ def tune(
                     _ = float(leaf[(0,) * leaf.ndim])
                     return time.perf_counter() - t0
 
-                chain(1)
-                t_s = min(chain(1) for _ in range(tries))
-                t_l = min(chain(k_large) for _ in range(tries))
-                return max((t_l - t_s) / (k_large - 1), 1e-9)
+                return _chained_diff(chain, 1, k_large, tries)
 
             def compile_fn(params: PlanParams):
                 h = _trial_compile(params)

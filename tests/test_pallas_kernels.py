@@ -54,8 +54,12 @@ def test_radix_override_and_unsupported():
     assert not pf.can_use_pallas(2 ** 21)          # needs 3 stages
     assert not pf.can_use_pallas(131)              # prime > 128
     assert pf.can_use_pallas(1024)
-    with pytest.raises(ValueError):
-        pf.fft_last(x.real.copy(), x.imag.copy(), radices=(4, 4, 4))
+    # 3-stage explicit radices are supported (r2 generalized core)
+    yr, yi = pf.fft_last(x.real.copy(), x.imag.copy(), radices=(4, 4, 4))
+    assert rel_err(np.asarray(yr) + 1j * np.asarray(yi),
+                   np.fft.fft(x, axis=-1)) < 1e-5
+    with pytest.raises(ValueError):  # >3 stages unsupported
+        pf.fft_last(x.real.copy(), x.imag.copy(), radices=(2, 2, 4, 4))
 
 
 def test_plan_use_pallas_local():
@@ -193,3 +197,42 @@ def test_pick_lane_tile_mosaic_rules():
     for lanes, tgt in [(320 * 320, 768), (768 * 768, 512), (1, 128)]:
         tl = pick(lanes, tgt)
         assert lanes % tl == 0 and (tl % 128 == 0 or tl == lanes)
+
+
+def test_three_stage_core_all_kernels():
+    """Generalized 1-3 stage core (r2): every kernel entry point accepts a
+    3-stage radix tuple and matches numpy (reference analogue: FFTW plans
+    arbitrary factorizations per axis, offt-compute.c:700-760)."""
+    x = rand_c64((4, 64, 64), seed=11)
+    # sublane (middle axis)
+    yr, yi = pf.fft_sublane(x.real.copy(), x.imag.copy(), 1,
+                            radices=(4, 4, 4))
+    assert rel_err(np.asarray(yr) + 1j * np.asarray(yi),
+                   np.fft.fft(x, axis=1)) < 1e-5
+    # slab (y, z fused) with mixed stage counts
+    yr, yi = pf.fft_slab_yz(x.real.copy(), x.imag.copy(),
+                            rad_y=(4, 4, 4), rad_z=(8, 8))
+    ref = np.fft.fft(np.fft.fft(x, axis=-1), axis=-2)
+    assert rel_err(np.asarray(yr) + 1j * np.asarray(yi), ref) < 1e-5
+    # inverse roundtrip through the 3-stage path
+    br, bi = pf.fft_sublane(np.asarray(yr), np.asarray(yi), 1,
+                            inverse=True, radices=(4, 4, 4),
+                            scale=1.0 / 64)
+    br2, bi2 = pf.fft_last(np.asarray(br), np.asarray(bi),
+                           inverse=True, radices=(4, 4, 4),
+                           scale=1.0 / 64)
+    assert rel_err(np.asarray(br2) + 1j * np.asarray(bi2), x) < 1e-5
+
+
+def test_three_stage_feasibility_gate():
+    """PlanParams radix validation mirrors the kernel's stage limits."""
+    from offt_tpu.plan.params import infeasible_reason
+    from offt_tpu.plan.api import ProblemSpec
+    spec = ProblemSpec(shape=(64, 64, 64), dtype="complex64")
+    ok = PlanParams(radix_z=(4, 4, 4))
+    assert infeasible_reason(spec, ok) is None
+    bad4 = PlanParams(radix_z=(2, 2, 4, 4))
+    assert "3 kernel stages" in infeasible_reason(spec, bad4)
+    spec512 = ProblemSpec(shape=(512, 512, 512), dtype="complex64")
+    bad_big = PlanParams(radix_z=(2, 4, 64))
+    assert "must be <=32" in infeasible_reason(spec512, bad_big)
