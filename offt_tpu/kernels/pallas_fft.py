@@ -260,8 +260,17 @@ def _sublane_core(xr, xi, g1, g2, twr, twi, r1: int, r2: int,
 # generalized N-stage core (1, 2, or 3 radix stages) over a flat consts
 # list, so kernels can carry per-axis table lists of varying length.
 # 3-stage = stage A (radix r1 dot per digit slice) + VPU twiddle + the
-# folded 2-stage core per k1-group: under stack6 the per-axis MXU pass
-# count drops (512 = (8,8,8): 3 passes vs (16,32): 5).
+# folded 2-stage core per k1-group.
+#
+# Measured on v5e (A/B, chained): 3-stage LOSES to 2-stage everywhere the
+# 2-stage loop core applies — 256^3 (4,8,8) 3.44 ms vs (8,32) 1.60;
+# 512^3 (8,8,8) 25.8 ms vs (16,32) 13.4. The stack6 pass-count model
+# (ceil(12r/128) per stage) predicted a win but ignores MXU output-row
+# utilization: a radix-8 stacked dot is (16,96)@(96,L) — 16 of 128 output
+# rows busy — while radix-32 fills 64 rows over 3 deep passes. 3-stage is
+# therefore a CAPABILITY path (N whose 2-stage split exceeds the radix
+# bounds, e.g. stack6 at N=2048=(8,16,16)), never the default pick:
+# _pick_stages only returns 3 stages on explicit request.
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
