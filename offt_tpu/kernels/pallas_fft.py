@@ -588,14 +588,16 @@ def can_use_pallas(n: int, radices=None) -> bool:
 
 def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
                   radices=None, scale: bool = True,
-                  precision: str = DEFAULT_PRECISION, block: int = 0):
+                  precision: str = DEFAULT_PRECISION, block: int = 0,
+                  out_scale: float = 1.0):
     """Planar 1-D FFT along ``axis`` (numpy fft/ifft semantics).
 
-    The inverse 1/N normalization is folded into the kernel's twiddle
-    tables — zero extra HBM passes."""
+    The inverse 1/N normalization — and any extra ``out_scale`` (norm
+    conventions, see fft3d_planar) — is folded into the kernel's twiddle
+    tables: zero extra HBM passes."""
     axis = axis % xr.ndim
     n = xr.shape[axis]
-    knob = (1.0 / n) if (inverse and scale) else 1.0
+    knob = out_scale * ((1.0 / n) if (inverse and scale) else 1.0)
     if axis == xr.ndim - 1:
         yr, yi = fft_last(xr, xi, inverse=inverse, radices=radices,
                           precision=precision, block_rows=block, scale=knob)
@@ -609,9 +611,14 @@ def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
 def fft3d_planar(xr, xi, inverse: bool = False,
                  rad_z=None, rad_y=None, rad_x=None,
                  precision: str = DEFAULT_PRECISION, block: int = 0,
-                 slab_rows: int = 0):
+                 slab_rows: int = 0, out_scale: float = 1.0):
     """Full 3-D c2c transform on planar arrays: 2-3 HBM round trips
-    (fused (y,z) slab when it fits VMEM + one kernel per remaining axis)."""
+    (fused (y,z) slab when it fits VMEM + one kernel per remaining axis).
+
+    ``out_scale`` multiplies the result at ZERO runtime cost — it rides
+    the final stage's constant tables (norm='ortho'/'forward' conventions
+    come free here, unlike an elementwise post-multiply which costs a
+    full HBM read+write pass)."""
     ax, ay, az = xr.ndim - 3, xr.ndim - 2, xr.ndim - 1
     kw = {"precision": precision, "block": block}
     ny, nz = xr.shape[ay], xr.shape[az]
@@ -631,14 +638,15 @@ def fft3d_planar(xr, xi, inverse: bool = False,
                                  precision=precision, zpad=_STRIDE_PAD,
                                  block_rows=slab_rows)
             return fft_x_from_padded(xr, xi, nz, radices=rad_x,
-                                     precision=precision)
+                                     precision=precision, scale=out_scale)
         if fuse:
             xr, xi = fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z,
                                  precision=precision, block_rows=slab_rows)
         else:
             xr, xi = fft_1d_planar(xr, xi, az, radices=rad_z, **kw)
             xr, xi = fft_1d_planar(xr, xi, ay, radices=rad_y, **kw)
-        xr, xi = fft_1d_planar(xr, xi, ax, radices=rad_x, **kw)
+        xr, xi = fft_1d_planar(xr, xi, ax, radices=rad_x,
+                               out_scale=out_scale, **kw)
         return xr, xi
     nx_ = xr.shape[ax]
     row_stride = ny * nz * 4
@@ -655,15 +663,16 @@ def fft3d_planar(xr, xi, inverse: bool = False,
                                  radices=rad_x, precision=precision)
         return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
                            rad_z=rad_z, precision=precision, z_true=nz,
-                           scale=1.0 / (nx_ * ny * nz),
+                           scale=out_scale / (nx_ * ny * nz),
                            block_rows=slab_rows)
     xr, xi = fft_1d_planar(xr, xi, ax, inverse=True, radices=rad_x, **kw)
     if fuse:
         return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
                            rad_z=rad_z, precision=precision,
-                           scale=1.0 / (ny * nz), block_rows=slab_rows)
+                           scale=out_scale / (ny * nz), block_rows=slab_rows)
     xr, xi = fft_1d_planar(xr, xi, ay, inverse=True, radices=rad_y, **kw)
-    xr, xi = fft_1d_planar(xr, xi, az, inverse=True, radices=rad_z, **kw)
+    xr, xi = fft_1d_planar(xr, xi, az, inverse=True, radices=rad_z,
+                           out_scale=out_scale, **kw)
     return xr, xi
 
 

@@ -397,13 +397,16 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
         if all(pf.can_use_pallas(n, r) for n, r in
                zip(spec.shape, (params.radix_x, params.radix_y,
                                 params.radix_z))):
+            # out_scale (norm conventions) folds into the final stage's
+            # constant tables — no _scaled elementwise pass (free ortho)
             def fn(re, im):
                 return pf.fft3d_planar(
                     re, im, inverse=spec.inverse,
                     rad_z=params.radix_z, rad_y=params.radix_y,
                     rad_x=params.radix_x, precision=params.precision,
-                    block=params.block_batch, slab_rows=params.slab_rows)
-            return jax.jit(_scaled(fn),
+                    block=params.block_batch, slab_rows=params.slab_rows,
+                    out_scale=out_scale)
+            return jax.jit(fn,
                            donate_argnums=(0, 1) if donate else ()), True
     raw_fn, in_shard, out_shard = _build_raw(spec, params, mesh, ndim,
                                              packed=packed)

@@ -236,3 +236,23 @@ def test_three_stage_feasibility_gate():
     spec512 = ProblemSpec(shape=(512, 512, 512), dtype="complex64")
     bad_big = PlanParams(radix_z=(2, 4, 64))
     assert "must be <=32" in infeasible_reason(spec512, bad_big)
+
+
+@pytest.mark.parametrize("norm", ["ortho", "forward"])
+def test_norm_folded_into_fused_path(norm):
+    """norm scaling on the fused planar c2c path rides the final stage's
+    constant tables (no elementwise pass); matches numpy's conventions
+    fwd and inv (reference: FFTW leaves scaling to the caller — this is
+    a TPU-side upgrade, free at kernel level)."""
+    shape = (16, 16, 16)
+    x = rand_c64(shape, seed=9)
+    p = offt_tpu.plan(shape, "complex64", planar=True, norm=norm,
+                      params=PlanParams(use_pallas=1), use_cache=False)
+    yr, yi = p((x.real.copy(), x.imag.copy()))
+    want = np.fft.fftn(x, norm=norm)
+    assert rel_err(np.asarray(yr) + 1j * np.asarray(yi), want) < 1e-5
+    pinv = offt_tpu.plan(shape, "complex64", planar=True, norm=norm,
+                         inverse=True, params=PlanParams(use_pallas=1),
+                         use_cache=False)
+    br, bi = pinv((yr, yi))
+    assert rel_err(np.asarray(br) + 1j * np.asarray(bi), x) < 1e-5
