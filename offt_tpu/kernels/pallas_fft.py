@@ -836,7 +836,12 @@ def can_use_padded_x(n: int, ny: int, nz: int, radices=None) -> bool:
 
 def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
                       radices=None, precision: str = DEFAULT_PRECISION,
-                      scale: float = 1.0, out_lanes: int = 0):
+                      scale: float = 1.0, out_lanes: int = 0,
+                      ty: int = 8, tz: int = 128):
+    # tile A/B on v5e at 256^3 (loop-timed, stack6): (8,128) 0.620 ms,
+    # (16,128) 0.850, (8,256) 0.870 — bigger blocks LOSE (shallower
+    # double-buffering under the vmem limit outweighs larger DMA rows);
+    # the defaults stay (8,128), the knobs remain for other parts/shapes.
     """x-axis FFT over a (..., X, Y, Z+pad) padded intermediate; writes the
     unpadded (..., X, Y, Z) result. Input blocks are pitched (X, 8, 128)
     reads that skip the pad lanes entirely; leading dims become grid dims.
@@ -852,7 +857,8 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
     rad = _pick_stages(n, radices, stacked=precision == "stack6")
     if rad is None:
         raise ValueError(f"N={n} not expressible")
-    ty, tz = 8, 128
+    if ny % ty or z_true % tz or (tz % 128 and tz != zp):
+        raise ValueError(f"tile ({ty},{tz}) illegal for ({ny},{z_true})")
     consts = [jnp.asarray(c) for c in
               _core_tables(n, rad, inverse, scale,
                            stacked=precision == "stack6")]
