@@ -67,11 +67,11 @@ def main():
     im = jax.device_put(rng.standard_normal(shape).astype(np.float32))
 
     p = offt_tpu.plan(shape, "complex64", planar=True, norm="ortho")
-    # the tunneled chip shows ±10% run-to-run variance (shared); repeats
-    # reuse the compiled loops, so min-of-3 costs ~0.5 s and reports the
-    # reproducible device time (matches the ledger's receipts)
-    t_ours = min(time_fn_looped(lambda c: tuple(p._fn(*c)), (re, im))
-                 for _ in range(3))
+    # the tunneled chip shows ±10% run-to-run variance (shared tenancy);
+    # tries=4 repeats each loop length on the SAME compiled executable
+    # (an outer min-of-N would re-trace and recompile both fori_loop
+    # programs every repeat — ~40 s each on the remote-compile runtime)
+    t_ours = time_fn_looped(lambda c: tuple(p._fn(*c)), (re, im), tries=4)
     gflops = flops / t_ours / 1e9
 
     def xla_fft(c):
@@ -81,8 +81,7 @@ def main():
     try:
         # short loops: XLA's per-iter time is ~3x ours, slope well above
         # noise, and each loop length costs a fresh ~40 s remote compile
-        t_xla = min(time_fn_looped(xla_fft, (re, im), k1=2, k2=12)
-                    for _ in range(3))
+        t_xla = time_fn_looped(xla_fft, (re, im), k1=2, k2=12, tries=4)
         vs_baseline = t_xla / t_ours  # >1 means we are faster
     except Exception as e:  # XLA FFT may be unsupported on some runtimes
         print(f"# xla fft baseline failed: {e}", file=sys.stderr)

@@ -25,6 +25,12 @@ import numpy as np
 # edge; radices beyond this would blow up FLOPs (cost per element ~ radix).
 MAX_RADIX = 128
 
+# Radix ceiling for the fused Pallas kernels' fully-unrolled loop core
+# (pallas_fft._sublane_core_loop issues r1 + r2 dots per block; beyond
+# this, trace/compile time blows up). Shared here so plan feasibility
+# (plan/params.py) can mirror the kernel gate without importing pallas.
+LOOP_MAX_RADIX = 32
+
 
 def _prime_factors(n: int) -> list[int]:
     """Prime factorization of n (ascending)."""

@@ -218,8 +218,9 @@ def _pick_2stage(n: int, radices=None,
 # --------------------------------------------------------------------------
 
 # radix ceiling for the fully-unrolled loop core (r1 + r2 dots per block);
-# beyond this the merged-reshape core keeps trace/compile time bounded
-_LOOP_MAX_RADIX = 32
+# beyond this the merged-reshape core keeps trace/compile time bounded.
+# Canonical value lives in dft.LOOP_MAX_RADIX (plan feasibility mirrors it).
+_LOOP_MAX_RADIX = dft.LOOP_MAX_RADIX
 
 
 def _pick_lane_tile(lanes: int, target: int) -> int:
@@ -611,7 +612,8 @@ def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
 def fft3d_planar(xr, xi, inverse: bool = False,
                  rad_z=None, rad_y=None, rad_x=None,
                  precision: str = DEFAULT_PRECISION, block: int = 0,
-                 slab_rows: int = 0, out_scale: float = 1.0):
+                 slab_rows: int = 0, out_scale: float = 1.0,
+                 x_tile=None):
     """Full 3-D c2c transform on planar arrays: 2-3 HBM round trips
     (fused (y,z) slab when it fits VMEM + one kernel per remaining axis).
 
@@ -637,8 +639,10 @@ def fft3d_planar(xr, xi, inverse: bool = False,
             xr, xi = fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z,
                                  precision=precision, zpad=_STRIDE_PAD,
                                  block_rows=slab_rows)
+            ty, tz = x_tile or (8, 128)
             return fft_x_from_padded(xr, xi, nz, radices=rad_x,
-                                     precision=precision, scale=out_scale)
+                                     precision=precision, scale=out_scale,
+                                     ty=ty, tz=tz)
         if fuse:
             xr, xi = fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z,
                                  precision=precision, block_rows=slab_rows)
@@ -857,7 +861,11 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
     rad = _pick_stages(n, radices, stacked=precision == "stack6")
     if rad is None:
         raise ValueError(f"N={n} not expressible")
-    if ny % ty or z_true % tz or (tz % 128 and tz != zp):
+    # output lane extent is zo = max(out_lanes, z_true): a non-128-mult
+    # tz is only legal when it equals BOTH the input pad width and the
+    # output extent (Mosaic: block lane dim = 128-mult or full extent)
+    zo_chk = max(out_lanes, z_true)
+    if ny % ty or z_true % tz or (tz % 128 and not (tz == zp == zo_chk)):
         raise ValueError(f"tile ({ty},{tz}) illegal for ({ny},{z_true})")
     consts = [jnp.asarray(c) for c in
               _core_tables(n, rad, inverse, scale,

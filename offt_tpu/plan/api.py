@@ -122,7 +122,8 @@ def _local_fft3d(x, inverse: bool, real: bool, nz: int, params: PlanParams):
             jnp.real(x), jnp.imag(x), inverse=inverse,
             rad_z=params.radix_z, rad_y=params.radix_y,
             rad_x=params.radix_x, precision=params.precision,
-            block=params.block_batch, slab_rows=params.slab_rows)
+            block=params.block_batch, slab_rows=params.slab_rows,
+            x_tile=params.x_tile)
         return jax.lax.complex(yr, yi)
     if not inverse:
         if real:
@@ -405,7 +406,7 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                     rad_z=params.radix_z, rad_y=params.radix_y,
                     rad_x=params.radix_x, precision=params.precision,
                     block=params.block_batch, slab_rows=params.slab_rows,
-                    out_scale=out_scale)
+                    out_scale=out_scale, x_tile=params.x_tile)
             return jax.jit(fn,
                            donate_argnums=(0, 1) if donate else ()), True
     raw_fn, in_shard, out_shard = _build_raw(spec, params, mesh, ndim,

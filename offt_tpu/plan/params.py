@@ -73,6 +73,10 @@ class PlanParams:
     block_batch: int = 0
     # x-rows per fused (y,z)-slab block; 0 = auto (measured-best table)
     slab_rows: int = 0
+    # stride-padded x-kernel block tile (ty, tz); None = (8, 128), the
+    # measured-best default at 256^3 on v5e (bigger tiles lose to
+    # shallower double-buffering under the vmem limit)
+    x_tile: Optional[tuple[int, int]] = None
     # MXU precision for DFT contractions: 'stack6' (contraction-stacked
     # 6-term bf16 words: the SAME six products as bf16x6 issued as ONE
     # deep matmul — f32-grade 2e-7 accuracy at ~1/3 the MXU time of
@@ -246,12 +250,21 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
                 prod *= r
             if prod != n or any(r > dft.MAX_RADIX for r in rad):
                 return f"radices {rad} invalid for N={n}"
-            # kernel core limits: <=3 stages; 3-stage radices <=32
-            # (pallas_fft._pick_stages / _LOOP_MAX_RADIX)
-            if len(rad) > 3:
-                return f"radices {rad}: more than 3 kernel stages"
-            if len(rad) == 3 and max(rad) > 32:
-                return f"radices {rad}: 3-stage radices must be <=32"
+            # Pallas core limits (<=3 stages; 3-stage radices in
+            # [2, LOOP_MAX_RADIX], mirroring pallas_fft._pick_stages).
+            # Only binding when the fused kernels are requested — the
+            # unfused stockham path runs any <=MAX_RADIX factorization.
+            if params.use_pallas:
+                if len(rad) > 3:
+                    return f"radices {rad}: more than 3 kernel stages"
+                if len(rad) == 3 and (max(rad) > dft.LOOP_MAX_RADIX
+                                      or min(rad) < 2):
+                    return (f"radices {rad}: 3-stage radices must be in "
+                            f"[2, {dft.LOOP_MAX_RADIX}]")
+    if params.x_tile is not None:
+        ty, tz = params.x_tile
+        if ny % ty or nz % tz or tz % 128:
+            return f"x_tile {params.x_tile} illegal for ({ny},{nz})"
     return None
 
 

@@ -274,6 +274,12 @@ def build_space(
         dims.append(Dimension("block_batch", (0, 128, 256, 512, 1024)))
         # x-rows per fused (y,z)-slab block; 0 = measured-best heuristic
         dims.append(Dimension("slab_rows", (0, 1, 2, 4, 8)))
+        # stride-padded x-kernel tile; None = (8,128) measured-best
+        xt = [None] + [(ty, tz) for ty, tz in ((16, 128), (8, 256))
+                       if spec.shape[1] % ty == 0
+                       and spec.shape[2] % tz == 0]
+        if len(xt) > 1:
+            dims.append(Dimension("x_tile", tuple(xt)))
         # MXU precision for the radix dots, both f32-grade (1e-6 bar):
         # stack6 = contraction-stacked bf16 words, ~3x less MXU time
         dims.append(Dimension("precision", ("stack6", "highest")))

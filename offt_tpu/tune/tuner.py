@@ -87,10 +87,7 @@ def _default_timer(reps: int = 3, inner: int = 4) -> Callable[[Plan], float]:
             _ = float(leaf[(0,) * leaf.ndim])
             return time.perf_counter() - t0
 
-        chain(1)  # compile
-        t_small = min(chain(1) for _ in range(reps))
-        t_large = min(chain(1 + inner) for _ in range(reps))
-        return max((t_large - t_small) / inner, 1e-9)
+        return _chained_diff(chain, 1, 1 + inner, reps)
 
     return timer
 

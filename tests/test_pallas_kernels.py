@@ -225,26 +225,43 @@ def test_three_stage_core_all_kernels():
 
 
 def test_three_stage_feasibility_gate():
-    """PlanParams radix validation mirrors the kernel's stage limits."""
+    """PlanParams radix validation mirrors the kernel's stage limits —
+    but only when the Pallas path is requested; the unfused stockham
+    path runs any <=MAX_RADIX factorization (e.g. 2^20 = 128*128*64)."""
     from offt_tpu.plan.params import infeasible_reason
     from offt_tpu.plan.api import ProblemSpec
     spec = ProblemSpec(shape=(64, 64, 64), dtype="complex64")
-    ok = PlanParams(radix_z=(4, 4, 4))
+    ok = PlanParams(use_pallas=1, radix_z=(4, 4, 4))
     assert infeasible_reason(spec, ok) is None
-    bad4 = PlanParams(radix_z=(2, 2, 4, 4))
+    bad4 = PlanParams(use_pallas=1, radix_z=(2, 2, 4, 4))
     assert "3 kernel stages" in infeasible_reason(spec, bad4)
     spec512 = ProblemSpec(shape=(512, 512, 512), dtype="complex64")
-    bad_big = PlanParams(radix_z=(2, 4, 64))
-    assert "must be <=32" in infeasible_reason(spec512, bad_big)
+    bad_big = PlanParams(use_pallas=1, radix_z=(2, 4, 64))
+    assert "must be in" in infeasible_reason(spec512, bad_big)
+    bad_one = PlanParams(use_pallas=1, radix_z=(1, 8, 8))
+    assert "must be in" in infeasible_reason(spec, bad_one)
+    # stockham path: the same tuples are feasible (run unfused)
+    assert infeasible_reason(spec, bad4.replace(use_pallas=0)) is None
+    assert infeasible_reason(spec512, bad_big.replace(use_pallas=0)) is None
+    # x_tile validation
+    assert infeasible_reason(spec512, PlanParams(x_tile=(16, 128))) is None
+    assert "x_tile" in infeasible_reason(spec512, PlanParams(x_tile=(7, 128)))
+    assert "x_tile" in infeasible_reason(spec512, PlanParams(x_tile=(8, 96)))
 
 
-@pytest.mark.parametrize("norm", ["ortho", "forward"])
-def test_norm_folded_into_fused_path(norm):
+@pytest.mark.parametrize("norm,shape", [
+    ("ortho", (16, 16, 16)),
+    ("forward", (16, 16, 16)),
+    # 128^3: row stride 64 KiB pow2 -> the stride-padded x path is
+    # active, exercising the out_scale fold in fft_x_from_padded (fwd)
+    # and the out_scale/(N^3) slab fold (inv)
+    ("ortho", (128, 128, 128)),
+])
+def test_norm_folded_into_fused_path(norm, shape):
     """norm scaling on the fused planar c2c path rides the final stage's
     constant tables (no elementwise pass); matches numpy's conventions
     fwd and inv (reference: FFTW leaves scaling to the caller — this is
     a TPU-side upgrade, free at kernel level)."""
-    shape = (16, 16, 16)
     x = rand_c64(shape, seed=9)
     p = offt_tpu.plan(shape, "complex64", planar=True, norm=norm,
                       params=PlanParams(use_pallas=1), use_cache=False)
