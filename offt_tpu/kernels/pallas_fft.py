@@ -54,11 +54,15 @@ _VMEM_CAP = 120 << 20
 
 def _vmem_params(est_bytes: int) -> dict:
     """compiler_params kwargs raising the scoped-vmem limit when the
-    estimated working set exceeds the Mosaic default."""
+    estimated working set exceeds the Mosaic default.
+
+    A fixed 2 MiB of headroom covers what the block-size formulas don't
+    model (constant tables, Mosaic stack temps) — a 512^3 tuning trial
+    OOM'd the scoped limit by exactly its 46 KiB of radix tables."""
     if est_bytes <= _VMEM_DEFAULT:
         return {}
     return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=int(min(est_bytes, _VMEM_CAP)))}
+        vmem_limit_bytes=int(min(est_bytes + (2 << 20), _VMEM_CAP)))}
 
 
 def _interpret() -> bool:
@@ -886,7 +890,8 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
         out_shape=(jax.ShapeDtypeStruct(out_shape4, jnp.float32),
                    jax.ShapeDtypeStruct(out_shape4, jnp.float32)),
         interpret=_interpret(),
-        **_vmem_params(_X_VMEM_BLOCKS * n * ty * tz * 4),
+        **_vmem_params(_X_VMEM_BLOCKS * n * ty * tz * 4
+                       + sum(c.nbytes for c in consts) + (1 << 20)),
     )(xr4, xi4, *consts)
     out_shape = lead + (n, ny, zo)
     return yr.reshape(out_shape), yi.reshape(out_shape)
@@ -931,7 +936,8 @@ def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
         out_shape=(jax.ShapeDtypeStruct(out_shape4, jnp.float32),
                    jax.ShapeDtypeStruct(out_shape4, jnp.float32)),
         interpret=_interpret(),
-        **_vmem_params(_X_VMEM_BLOCKS * n * ty * tz * 4),
+        **_vmem_params(_X_VMEM_BLOCKS * n * ty * tz * 4
+                       + sum(c.nbytes for c in consts) + (1 << 20)),
     )(xr4, xi4, *consts)
     out_shape = lead + (n, ny, nz + zpad)
     return yr.reshape(out_shape), yi.reshape(out_shape)
