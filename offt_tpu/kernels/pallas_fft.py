@@ -667,8 +667,10 @@ def fft3d_planar(xr, xi, inverse: bool = False,
         # Z-padded intermediate (conflict-free stores), the inverse slab
         # reads it pitched; the full 1/N normalization rides the slab's
         # twiddle tables
+        ty, tz = x_tile or (8, 128)
         xr, xi = fft_x_to_padded(xr, xi, zpad=_STRIDE_PAD, inverse=True,
-                                 radices=rad_x, precision=precision)
+                                 radices=rad_x, precision=precision,
+                                 ty=ty, tz=tz)
         return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
                            rad_z=rad_z, precision=precision, z_true=nz,
                            scale=out_scale / (nx_ * ny * nz),
@@ -899,7 +901,8 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
 
 def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
                     radices=None, precision: str = DEFAULT_PRECISION,
-                    scale: float = 1.0, z_true: int = 0):
+                    scale: float = 1.0, z_true: int = 0,
+                    ty: int = 8, tz: int = 128):
     """x-axis FFT reading an unpadded (..., X, Y, Z) array and writing a
     Z-padded (..., X, Y, Z+zpad) intermediate (stride-breaking layout for a
     downstream pitched-read consumer, e.g. the inverse slab). Unscaled.
@@ -917,7 +920,8 @@ def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
     rad = _pick_stages(n, radices, stacked=precision == "stack6")
     if rad is None:
         raise ValueError(f"N={n} not expressible")
-    ty, tz = 8, 128
+    if ny % ty or nz % tz or tz % 128:
+        raise ValueError(f"tile ({ty},{tz}) illegal for ({ny},{nz})")
     consts = [jnp.asarray(c) for c in
               _core_tables(n, rad, inverse, scale,
                            stacked=precision == "stack6")]
