@@ -265,6 +265,10 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
         ty, tz = params.x_tile
         if ny % ty or nz % tz or tz % 128:
             return f"x_tile {params.x_tile} illegal for ({ny},{nz})"
+        # working set must fit the raised scoped-vmem cap (mirrors
+        # pallas_fft._X_VMEM_BLOCKS=16 blocks and _VMEM_CAP=120 MiB)
+        if 16 * nx * ty * tz * 4 > (120 << 20):
+            return f"x_tile {params.x_tile} exceeds VMEM at nx={nx}"
     return None
 
 

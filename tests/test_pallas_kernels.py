@@ -273,3 +273,29 @@ def test_norm_folded_into_fused_path(norm, shape):
                          use_cache=False)
     br, bi = pinv((yr, yi))
     assert rel_err(np.asarray(br) + 1j * np.asarray(bi), x) < 1e-5
+
+
+def test_x_tile_plan_path():
+    """x_tile threads from PlanParams through the padded-x kernels (fwd
+    and inv) and stays numerically identical to the default tile."""
+    shape = (128, 128, 128)
+    x = rand_c64(shape, seed=12)
+    base = offt_tpu.plan(shape, "complex64", planar=True,
+                         params=PlanParams(use_pallas=1), use_cache=False)
+    tiled = offt_tpu.plan(shape, "complex64", planar=True,
+                          params=PlanParams(use_pallas=1, x_tile=(16, 128)),
+                          use_cache=False)
+    br, bi = base((x.real.copy(), x.imag.copy()))
+    tr, ti = tiled((x.real.copy(), x.imag.copy()))
+    assert rel_err(np.asarray(tr) + 1j * np.asarray(ti),
+                   np.asarray(br) + 1j * np.asarray(bi)) < 1e-6
+    inv = offt_tpu.plan(shape, "complex64", planar=True, inverse=True,
+                        params=PlanParams(use_pallas=1, x_tile=(16, 128)),
+                        use_cache=False)
+    rr, ri = inv((tr, ti))
+    assert rel_err(np.asarray(rr) + 1j * np.asarray(ri), x) < 1e-5
+    # vmem-busting tile rejected at feasibility
+    from offt_tpu.plan.params import infeasible_reason
+    from offt_tpu.plan.api import ProblemSpec
+    spec = ProblemSpec(shape=(2048, 2048, 2048), dtype="complex64")
+    assert "VMEM" in infeasible_reason(spec, PlanParams(x_tile=(64, 512)))
