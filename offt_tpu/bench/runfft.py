@@ -58,6 +58,8 @@ def _parse_args(argv=None):
     p.add_argument("--radix-z", default=None, help="e.g. 16,16")
     p.add_argument("--radix-y", default=None)
     p.add_argument("--radix-x", default=None)
+    p.add_argument("--x-tile", default=None,
+                   help="stride-padded x-kernel tile, e.g. 8,128")
     p.add_argument("--verify", action="store_true",
                    help="check output vs numpy (golden input)")
     p.add_argument("--breakdown", action="store_true",
@@ -126,7 +128,7 @@ def main(argv=None):
                  ("t1", "t2", "w1", "w2", "ry", "s1", "s2", "v")
                  if getattr(ns, k) is not None}
     for flag, key in (("radix_z", "radix_z"), ("radix_y", "radix_y"),
-                      ("radix_x", "radix_x")):
+                      ("radix_x", "radix_x"), ("x_tile", "x_tile")):
         v = getattr(ns, flag)
         if v:
             overrides[key] = tuple(int(t) for t in v.split(","))
