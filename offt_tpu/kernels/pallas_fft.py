@@ -1089,6 +1089,33 @@ def rfft_last_planar(x: jax.Array, radices=None,
 # --------------------------------------------------------------------------
 
 
+# Largest M for which the r2c/c2r untangle runs as a dense folded
+# (2M, 2M) dot. The dot has perfect MXU lane utilization but O(M^2)
+# FLOPs; past M=128 (one 256-deep pass) it dominates the whole slab
+# (measured at M=512 on v5e: the r2c slab cost 2x the c2c slab at the
+# same dims). Larger M uses the dual-transform untangle instead.
+_H_DOT_MAX = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _crfft_dual_tables(n: int) -> tuple:
+    """(alpha', gamma) diagonal constants for the dual-transform c2r
+    re-tangle: v = idft(alpha' . X') + conj(idft(gamma . X')) + V0,
+    gamma[k] = conj(beta'[(M-k) % M]) — the reversal rides the CONSTANT
+    (free, host-side), never the data (Mosaic has no reversal op).
+    Returns (ar, ai, gr, gi) as (M, 1) float32 columns, unscaled."""
+    m = n // 2
+    k = np.arange(m)
+    th = 2.0 * np.pi * k / n
+    alpha = 0.5 * (1.0 - np.sin(th)) + 0.5j * np.cos(th)
+    beta = 0.5 * (1.0 + np.sin(th)) - 0.5j * np.cos(th)
+    gamma = np.conj(beta[(m - k) % m])
+    return (alpha.real.reshape(m, 1).astype(np.float32),
+            alpha.imag.reshape(m, 1).astype(np.float32),
+            gamma.real.reshape(m, 1).astype(np.float32),
+            gamma.imag.reshape(m, 1).astype(np.float32))
+
+
 @functools.lru_cache(maxsize=None)
 def _rfft_h_matrix(n: int) -> np.ndarray:
     """The r2c untangle as ONE folded real matrix H (2M x 2M):
@@ -1173,9 +1200,25 @@ def can_use_rfft3d(nx: int, ny: int, nz: int,
             and can_use_padded_x(nx, ny, m, rad_x))
 
 
-def _rfft_slab_kernel(x_ref, g1m, g2m, twrm, twim, h_mat,
-                      g1y, g2y, twry, twiy, or_ref, oi_ref,
-                      *, rm: tuple, ry: tuple, precision: str):
+def _rfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
+                      dual: bool):
+    """Fused r2c(z)+fft(y) slab. Two untangle strategies (see
+    _rfft_h_matrix / the module-level _H_DOT_MAX note):
+
+    - dual=False (M <= _H_DOT_MAX): untangle+packing as ONE dense folded
+      dot — a (2M, 2M) matrix at full MXU lane utilization.
+    - dual=True (large M): the dense dot's O(M^2) FLOPs dominate (at
+      M=512 it is ~20x the z-stage itself; measured 2x the whole c2c
+      slab at the same dims on v5e). Instead compute conj(V[M-k]) =
+      fft_M(conj(v))[k] as a SECOND half-length transform (Mosaic has no
+      lane/sublane reversal primitive) and untangle on the VPU —
+      2 z-stages + O(M) work instead of O(M^2)."""
+    if dual:
+        (x_ref, g1m, g2m, twrm, twim, wr, wi,
+         g1y, g2y, twry, twiy, or_ref, oi_ref) = refs
+    else:
+        (x_ref, g1m, g2m, twrm, twim, h_mat,
+         g1y, g2y, twry, twiy, or_ref, oi_ref) = refs
     tb, ny, n = x_ref.shape
     m = n // 2
     flat = x_ref[:].reshape(tb * ny, n)
@@ -1185,12 +1228,27 @@ def _rfft_slab_kernel(x_ref, g1m, g2m, twrm, twim, h_mat,
     vit = v3[:, 1, :]
     vfr, vfi = _sublane_core(vrt, vit, g1m[:], g2m[:], twrm[:], twim[:],
                              rm[0], rm[1], precision)      # V = fft_M(v)
-    # untangle + Nyquist packing = one folded dot (see _rfft_h_matrix)
-    xs = jnp.dot(h_mat[:], jnp.concatenate([vfr, vfi], axis=0),
-                 preferred_element_type=jnp.float32,
-                 precision=_dot_precision(precision))
-    zr = xs[:m].T.reshape(tb, ny, m)
-    zi = xs[m:].T.reshape(tb, ny, m)
+    if dual:
+        urr, uri = _sublane_core(vrt, -vit, g1m[:], g2m[:], twrm[:],
+                                 twim[:], rm[0], rm[1], precision)
+        xer = 0.5 * (vfr + urr)                   # = conj(V[M-k]) parts
+        xei = 0.5 * (vfi + uri)
+        xor_ = 0.5 * (vfi - uri)
+        xoi = -0.5 * (vfr - urr)
+        xr = xer + wr[:] * xor_ - wi[:] * xoi     # X = Xe + W^k Xo
+        xi = xei + wr[:] * xoi + wi[:] * xor_
+        row0_re = xer[:1] + xor_[:1]              # X[0].re
+        row0_im = xer[:1] - xor_[:1]              # packed: X[M].re
+        xs_r = jnp.concatenate([row0_re, xr[1:]], axis=0)
+        xs_i = jnp.concatenate([row0_im, xi[1:]], axis=0)
+    else:
+        # untangle + Nyquist packing = one folded dot (_rfft_h_matrix)
+        xs = jnp.dot(h_mat[:], jnp.concatenate([vfr, vfi], axis=0),
+                     preferred_element_type=jnp.float32,
+                     precision=_dot_precision(precision))
+        xs_r, xs_i = xs[:m], xs[m:]
+    zr = xs_r.T.reshape(tb, ny, m)
+    zi = xs_i.T.reshape(tb, ny, m)
     for t in range(tb):
         yr, yi = _sublane_core(zr[t], zi[t], g1y[:], g2y[:], twry[:],
                                twiy[:], ry[0], ry[1], precision)
@@ -1215,11 +1273,13 @@ def rfft_slab_yz(x: jax.Array, rad_y=None, rad_z=None,
     x3 = x.reshape(p, ny, n).astype(jnp.float32)
     tm = _tables(m, rm[0], inverse=False, stacked=precision == "stack6")
     ty_ = _tables(ny, ry[0], inverse=False, stacked=precision == "stack6")
+    dual = m > _H_DOT_MAX
+    untangle = _rfft_tables(n) if dual else (_rfft_h_matrix(n),)
     consts = [jnp.asarray(v) for v in
-              (tm["g1"], tm["g2"], tm["twr"], tm["twi"], _rfft_h_matrix(n),
+              (tm["g1"], tm["g2"], tm["twr"], tm["twi"], *untangle,
                ty_["g1"], ty_["g2"], ty_["twr"], ty_["twi"])]
     kernel = functools.partial(_rfft_slab_kernel, rm=rm, ry=ry,
-                               precision=precision)
+                               precision=precision, dual=dual)
     tb = block_rows or max(2, min(8, (1 << 18) // max(ny * m, 1)))
     while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * m * 4 > _VMEM_CAP:
         tb //= 2
@@ -1348,13 +1408,25 @@ def rfft3d_planar(x: jax.Array, rad_z=None, rad_y=None, rad_x=None,
 
 
 def _crfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
-                       has_side: bool):
+                       has_side: bool, dual: bool, scale: float = 1.0):
+    """Fused ifft(y) + c2r(z) slab. ``dual`` mirrors _rfft_slab_kernel:
+    past _H_DOT_MAX the dense G re-tangle dot is replaced by TWO inverse
+    half-transforms of diagonally pre-scaled inputs (the reversal in
+    conj(X[M-k]) is folded into the gamma constant, _crfft_dual_tables),
+    plus a broadcast V0 term (row 0 of the packed spectrum feeds ONLY
+    V[0], and idft(e0) is the all-ones column)."""
+    base = 4 if has_side else 2
     if has_side:
-        (xr_ref, xi_ref, sr_ref, si_ref, g1y, g2y, twry, twiy,
-         g1m, g2m, twrm, twim, g_mat, o_ref) = refs
+        xr_ref, xi_ref, sr_ref, si_ref = refs[:4]
     else:
-        (xr_ref, xi_ref, g1y, g2y, twry, twiy,
-         g1m, g2m, twrm, twim, g_mat, o_ref) = refs
+        xr_ref, xi_ref = refs[:2]
+    g1y, g2y, twry, twiy = refs[base:base + 4]
+    g1m, g2m, twrm, twim = refs[base + 4:base + 8]
+    if dual:
+        ar_, ai_, gr_, gi_ = refs[base + 8:base + 12]
+    else:
+        g_mat = refs[base + 8]
+    o_ref = refs[-1]
     tb, ny, m = xr_ref.shape
     n = 2 * m
     if has_side:
@@ -1378,12 +1450,29 @@ def _crfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
         rows_i.append(yi)
     zr = jnp.stack(rows_r, axis=0).reshape(tb * ny, m).T   # (M, TB*Y)
     zi = jnp.stack(rows_i, axis=0).reshape(tb * ny, m).T
-    # re-tangle (+ packed-plane unpack + normalization) = one folded dot
-    vs = jnp.dot(g_mat[:], jnp.concatenate([zr, zi], axis=0),
-                 preferred_element_type=jnp.float32,
-                 precision=_dot_precision(precision))
-    vr, vi = _sublane_core(vs[:m], vs[m:], g1m[:], g2m[:], twrm[:],
-                           twim[:], rm[0], rm[1], precision)  # v = idft(V)
+    if dual:
+        a0r, a0i = zr[:1], zi[:1]             # packed A = X0.re, B = XM.re
+        zero = jnp.zeros_like(a0r)
+        zr0 = jnp.concatenate([zero, zr[1:]], axis=0)
+        zi0 = jnp.concatenate([zero, zi[1:]], axis=0)
+        pr = ar_[:] * zr0 - ai_[:] * zi0      # alpha' . X'
+        pi_ = ar_[:] * zi0 + ai_[:] * zr0
+        qr = gr_[:] * zr0 - gi_[:] * zi0      # gamma . X'
+        qi = gr_[:] * zi0 + gi_[:] * zr0
+        v1r, v1i = _sublane_core(pr, pi_, g1m[:], g2m[:], twrm[:],
+                                 twim[:], rm[0], rm[1], precision)
+        v2r, v2i = _sublane_core(qr, qi, g1m[:], g2m[:], twrm[:],
+                                 twim[:], rm[0], rm[1], precision)
+        s = jnp.float32(0.5 * scale)
+        vr = v1r + v2r + s * (a0r + a0i)      # + V0 (idft(e0) = ones)
+        vi = v1i - v2i + s * (a0r - a0i)
+    else:
+        # re-tangle (+ packed unpack + normalization) = one folded dot
+        vs = jnp.dot(g_mat[:], jnp.concatenate([zr, zi], axis=0),
+                     preferred_element_type=jnp.float32,
+                     precision=_dot_precision(precision))
+        vr, vi = _sublane_core(vs[:m], vs[m:], g1m[:], g2m[:], twrm[:],
+                               twim[:], rm[0], rm[1], precision)
     # interleave: x[2j] = Re v, x[2j+1] = Im v (sublane-preserving reshape)
     out = jnp.stack([vr, vi], axis=1).reshape(n, tb * ny)
     o_ref[:] = out.T.reshape(tb, ny, n)
@@ -1415,14 +1504,23 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
     ty_ = _tables(ny, ry[0], inverse=True, stacked=precision == "stack6")
     tm = _tables(m, rm[0], inverse=True, stacked=precision == "stack6")
     # the unscaled inverse core computes a plain sum (no 1/M); the G
-    # matrix carries the whole requested scale
+    # matrix (or the dual-path alpha/gamma diagonals + V0 term) carries
+    # the whole requested scale
     has_side = side_r is not None
+    dual = m > _H_DOT_MAX
+    if dual:
+        ar_, ai_, gr_, gi_ = _crfft_dual_tables(n)
+        s = np.float32(scale)
+        retangle = (ar_ * s, ai_ * s, gr_ * s, gi_ * s)
+    else:
+        retangle = (_crfft_g_matrix(n, float(scale)),)
     consts = [jnp.asarray(v) for v in
               (ty_["g1"], ty_["g2"], ty_["twr"], ty_["twi"],
                tm["g1"], tm["g2"], tm["twr"], tm["twi"],
-               _crfft_g_matrix(n, float(scale)))]
+               *retangle)]
     kernel = functools.partial(_crfft_slab_kernel, rm=rm, ry=ry,
-                               precision=precision, has_side=has_side)
+                               precision=precision, has_side=has_side,
+                               dual=dual, scale=float(scale))
     tb = block_rows or max(2, min(8, (1 << 18) // max(ny * m, 1)))
     while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * n * 4 > _VMEM_CAP:
         tb //= 2
