@@ -1592,16 +1592,38 @@ def irfft3d_planar(xr: jax.Array, xi: jax.Array, nz: int = 0,
 # interleave, all inside the transpose sandwich.
 # --------------------------------------------------------------------------
 
-def _icrfft_last_kernel(xr_ref, xi_ref, g1, g2, twr, twi, g_mat, o_ref,
-                        *, r1: int, r2: int, precision: str):
+def _icrfft_last_kernel(*refs, r1: int, r2: int, precision: str,
+                        dual: bool, scale: float = 1.0):
+    if dual:
+        xr_ref, xi_ref, g1, g2, twr, twi, ar_, ai_, gr_, gi_, o_ref = refs
+    else:
+        xr_ref, xi_ref, g1, g2, twr, twi, g_mat, o_ref = refs
     m = xr_ref.shape[1]
     zr = xr_ref[:].T                                   # (M, TB)
     zi = xi_ref[:].T
-    vs = jnp.dot(g_mat[:], jnp.concatenate([zr, zi], axis=0),
-                 preferred_element_type=jnp.float32,
-                 precision=_dot_precision(precision))
-    vr, vi = _sublane_core(vs[:m], vs[m:], g1[:], g2[:], twr[:], twi[:],
-                           r1, r2, precision)          # v = idft_M(V)
+    if dual:
+        # same dual-transform re-tangle as _crfft_slab_kernel
+        a0r, a0i = zr[:1], zi[:1]
+        zero = jnp.zeros_like(a0r)
+        zr0 = jnp.concatenate([zero, zr[1:]], axis=0)
+        zi0 = jnp.concatenate([zero, zi[1:]], axis=0)
+        pr = ar_[:] * zr0 - ai_[:] * zi0
+        pi_ = ar_[:] * zi0 + ai_[:] * zr0
+        qr = gr_[:] * zr0 - gi_[:] * zi0
+        qi = gr_[:] * zi0 + gi_[:] * zr0
+        v1r, v1i = _sublane_core(pr, pi_, g1[:], g2[:], twr[:], twi[:],
+                                 r1, r2, precision)
+        v2r, v2i = _sublane_core(qr, qi, g1[:], g2[:], twr[:], twi[:],
+                                 r1, r2, precision)
+        s = jnp.float32(0.5 * scale)
+        vr = v1r + v2r + s * (a0r + a0i)
+        vi = v1i - v2i + s * (a0r - a0i)
+    else:
+        vs = jnp.dot(g_mat[:], jnp.concatenate([zr, zi], axis=0),
+                     preferred_element_type=jnp.float32,
+                     precision=_dot_precision(precision))
+        vr, vi = _sublane_core(vs[:m], vs[m:], g1[:], g2[:], twr[:],
+                               twi[:], r1, r2, precision)  # v = idft_M(V)
     out = jnp.stack([vr, vi], axis=1).reshape(2 * m, xr_ref.shape[0])
     o_ref[:] = out.T
 
@@ -1631,11 +1653,17 @@ def icrfft_last_planar(xr: jax.Array, xi: jax.Array, n: int = 0,
         xr2 = jnp.pad(xr2, ((0, bp - b), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, bp - b), (0, 0)))
     t = _tables(m, r1, inverse=True, stacked=precision == "stack6")
+    dual = m > _H_DOT_MAX
+    if dual:
+        s = np.float32(scale)
+        retangle = tuple(v * s for v in _crfft_dual_tables(n))
+    else:
+        retangle = (_crfft_g_matrix(n, float(scale)),)
     consts = [jnp.asarray(v) for v in
-              (t["g1"], t["g2"], t["twr"], t["twi"],
-               _crfft_g_matrix(n, float(scale)))]
+              (t["g1"], t["g2"], t["twr"], t["twi"], *retangle)]
     kernel = functools.partial(_icrfft_last_kernel, r1=r1, r2=r2,
-                               precision=precision)
+                               precision=precision, dual=dual,
+                               scale=float(scale))
     in_spec = pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
