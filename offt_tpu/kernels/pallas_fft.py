@@ -663,18 +663,21 @@ def fft3d_planar(xr, xi, inverse: bool = False,
                     and row_stride >= (1 << 16)
                     and (row_stride & (row_stride - 1)) == 0)
     if use_padded_x:
-        # mirror of the forward stride-broken path: the x kernel writes a
-        # Z-padded intermediate (conflict-free stores), the inverse slab
-        # reads it pitched; the full 1/N normalization rides the slab's
-        # twiddle tables
+        # the three axis transforms commute, so the inverse reuses the
+        # FORWARD order (slab -> padded intermediate -> pitched x) with
+        # inverse tables: both stride-sensitive x accesses (the loads)
+        # stay conflict-free. The old mirror order (x first, reading the
+        # unpadded pow2-strided input) measured 1.58 ms vs 1.37 forward
+        # at 256^3 — the x stage paid the bank conflicts the forward
+        # path was built to break. 1/N rides the x stage's tables.
         ty, tz = x_tile or (8, 128)
-        xr, xi = fft_x_to_padded(xr, xi, zpad=_STRIDE_PAD, inverse=True,
-                                 radices=rad_x, precision=precision,
+        xr, xi = fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
+                             rad_z=rad_z, precision=precision,
+                             zpad=_STRIDE_PAD, block_rows=slab_rows)
+        return fft_x_from_padded(xr, xi, nz, inverse=True, radices=rad_x,
+                                 precision=precision,
+                                 scale=out_scale / (nx_ * ny * nz),
                                  ty=ty, tz=tz)
-        return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
-                           rad_z=rad_z, precision=precision, z_true=nz,
-                           scale=out_scale / (nx_ * ny * nz),
-                           block_rows=slab_rows)
     xr, xi = fft_1d_planar(xr, xi, ax, inverse=True, radices=rad_x, **kw)
     if fuse:
         return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
