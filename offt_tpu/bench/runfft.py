@@ -53,8 +53,9 @@ def _parse_args(argv=None):
                         "exactly")
     p.add_argument("--log", default="", help="JSONL trial/event log path")
     # per-parameter overrides (reference run-fft.c:207-230 one flag per knob)
-    for knob in ("t1", "t2", "w1", "w2", "ry", "s1", "s2", "v"):
-        p.add_argument(f"--{knob}", type=int, default=None)
+    for knob in ("t1", "t2", "w1", "w2", "ry", "s1", "s2", "v",
+                 "block_batch", "slab_rows"):
+        p.add_argument(f"--{knob.replace('_', '-')}", type=int, default=None)
     p.add_argument("--radix-z", default=None, help="e.g. 16,16")
     p.add_argument("--radix-y", default=None)
     p.add_argument("--radix-x", default=None)
@@ -125,7 +126,8 @@ def main(argv=None):
         mesh = make_mesh(p1, p2)
 
     overrides = {k: getattr(ns, k) for k in
-                 ("t1", "t2", "w1", "w2", "ry", "s1", "s2", "v")
+                 ("t1", "t2", "w1", "w2", "ry", "s1", "s2", "v",
+                  "block_batch", "slab_rows")
                  if getattr(ns, k) is not None}
     for flag, key in (("radix_z", "radix_z"), ("radix_y", "radix_y"),
                       ("radix_x", "radix_x"), ("x_tile", "x_tile")):
