@@ -1390,7 +1390,7 @@ def pack_rfft3d(yr, yi):
 
 def rfft3d_planar(x: jax.Array, rad_z=None, rad_y=None, rad_x=None,
                   precision: str = DEFAULT_PRECISION, slab_rows: int = 0,
-                  packed: bool = False):
+                  packed: bool = False, x_tile=None):
     """Full 3-D r2c on a real (..., X, Y, N) array.
 
     Two HBM passes (fused r2c+y slab, pitched x kernel at M aligned
@@ -1404,7 +1404,9 @@ def rfft3d_planar(x: jax.Array, rad_z=None, rad_y=None, rad_x=None,
     m = n // 2
     yr, yi = rfft_slab_yz(x, rad_y=rad_y, rad_z=rad_z, precision=precision,
                           zpad=_STRIDE_PAD, block_rows=slab_rows)
-    yr, yi = fft_x_from_padded(yr, yi, m, radices=rad_x, precision=precision)
+    ty, tz = x_tile or (8, 128)
+    yr, yi = fft_x_from_padded(yr, yi, m, radices=rad_x, precision=precision,
+                               ty=ty, tz=tz)
     if packed:
         return yr, yi
     return unpack_rfft3d(yr, yi)
@@ -1558,7 +1560,7 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
 def irfft3d_planar(xr: jax.Array, xi: jax.Array, nz: int = 0,
                    rad_z=None, rad_y=None, rad_x=None,
                    precision: str = DEFAULT_PRECISION, slab_rows: int = 0,
-                   packed: bool = False):
+                   packed: bool = False, x_tile=None):
     """Full 3-D c2r on planar half-spectra -> real (..., X, Y, N).
 
     Accepts either the numpy layout (..., M+1) or, with ``packed=True``,
@@ -1578,9 +1580,10 @@ def irfft3d_planar(xr: jax.Array, xi: jax.Array, nz: int = 0,
         side_r, side_i = fft_1d_planar(
             xr[..., m], xi[..., m], axis=-2, inverse=True, radices=rad_x,
             scale=False, precision=precision)
+    ty, tz = x_tile or (8, 128)
     xr, xi = fft_x_to_padded(xr, xi, zpad=_STRIDE_PAD, inverse=True,
                              radices=rad_x, precision=precision,
-                             z_true=0 if packed else m)
+                             z_true=0 if packed else m, ty=ty, tz=tz)
     return irfft_slab_yz(xr, xi, n, rad_y=rad_y, rad_z=rad_z,
                          precision=precision,
                          scale=1.0 / (nx_ * ny * m), block_rows=slab_rows,

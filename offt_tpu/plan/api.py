@@ -378,14 +378,16 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                     return pf.rfft3d_planar(
                         x, rad_z=params.radix_z, rad_y=params.radix_y,
                         rad_x=params.radix_x, precision=params.precision,
-                        slab_rows=params.slab_rows, packed=packed)
+                        slab_rows=params.slab_rows, packed=packed,
+                        x_tile=params.x_tile)
                 return jax.jit(_scaled(fwd),
                                donate_argnums=(0,) if donate else ()), False
             def inv(re, im):
                 return pf.irfft3d_planar(
                     re, im, nz, rad_z=params.radix_z, rad_y=params.radix_y,
                     rad_x=params.radix_x, precision=params.precision,
-                    slab_rows=params.slab_rows, packed=packed)
+                    slab_rows=params.slab_rows, packed=packed,
+                    x_tile=params.x_tile)
             return jax.jit(_scaled(inv),
                            donate_argnums=(0, 1) if donate else ()), True
 

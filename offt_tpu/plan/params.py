@@ -263,11 +263,15 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
                             f"[2, {dft.LOOP_MAX_RADIX}]")
     if params.x_tile is not None:
         ty, tz = params.x_tile
-        if ny % ty or nz % tz or tz % 128:
-            return f"x_tile {params.x_tile} illegal for ({ny},{nz})"
-        # working set must fit the raised scoped-vmem cap (mirrors
-        # pallas_fft._X_VMEM_BLOCKS=16 blocks and _VMEM_CAP=120 MiB)
-        if 16 * nx * ty * tz * 4 > (120 << 20):
+        # the x kernel's lane extent: M = nz/2 for real transforms
+        # (packed half-spectrum), nz for c2c
+        lanes = nz // 2 if spec.real else nz
+        if ny % ty or lanes % tz or tz % 128:
+            return f"x_tile {params.x_tile} illegal for ({ny},{lanes})"
+        # working set must fit the raised scoped-vmem cap; import the
+        # kernel's own constants lazily so they cannot drift
+        from ..kernels.pallas_fft import _VMEM_CAP, _X_VMEM_BLOCKS
+        if _X_VMEM_BLOCKS * nx * ty * tz * 4 + (4 << 20) > _VMEM_CAP:
             return f"x_tile {params.x_tile} exceeds VMEM at nx={nx}"
     return None
 

@@ -274,10 +274,18 @@ def build_space(
         dims.append(Dimension("block_batch", (0, 128, 256, 512, 1024)))
         # x-rows per fused (y,z)-slab block; 0 = measured-best heuristic
         dims.append(Dimension("slab_rows", (0, 1, 2, 4, 8)))
-        # stride-padded x-kernel tile; None = (8,128) measured-best
+        # stride-padded x-kernel tile; None = (8,128) measured-best.
+        # Only searched when the padded-x path is actually reachable:
+        # r2c/c2r always routes x through it (on M = nz/2 lanes); c2c
+        # needs the pow2 >= 64 KiB row stride that triggers the
+        # stride-broken path (kernels/pallas_fft.py use_padded_x gate).
+        ny_, nz_ = spec.shape[1], spec.shape[2]
+        lanes = nz_ // 2 if spec.real else nz_
+        stride = ny_ * nz_ * 4
+        reachable = spec.real or (stride >= (1 << 16)
+                                  and (stride & (stride - 1)) == 0)
         xt = [None] + [(ty, tz) for ty, tz in ((16, 128), (8, 256))
-                       if spec.shape[1] % ty == 0
-                       and spec.shape[2] % tz == 0]
+                       if reachable and ny_ % ty == 0 and lanes % tz == 0]
         if len(xt) > 1:
             dims.append(Dimension("x_tile", tuple(xt)))
         # MXU precision for the radix dots, both f32-grade (1e-6 bar):

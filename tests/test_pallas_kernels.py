@@ -299,3 +299,35 @@ def test_x_tile_plan_path():
     from offt_tpu.plan.api import ProblemSpec
     spec = ProblemSpec(shape=(2048, 2048, 2048), dtype="complex64")
     assert "VMEM" in infeasible_reason(spec, PlanParams(x_tile=(64, 512)))
+
+
+def test_dual_untangle_branches():
+    """M > _H_DOT_MAX routes the r2c/c2r untangle through the
+    dual-transform path (second half-transform fwd; reversal folded into
+    the gamma constant inv) — every other r2c test here has M <= 128 and
+    only exercises the dense-dot branch. nz=512 -> M=256 covers: the
+    slab fwd kernel, the 3-D packed path + roundtrip, the numpy-layout
+    unpack, and the 1-D packed c2r kernel."""
+    assert pf._H_DOT_MAX == 128
+    rng = np.random.default_rng(13)
+    # fwd slab (M=256, dual)
+    x = rng.standard_normal((4, 16, 512)).astype(np.float32)
+    yr, yi = pf.rfft_slab_yz(x)
+    w = np.fft.rfft(x, axis=-1)
+    packed = w[..., :256].copy()
+    packed[..., 0] = w[..., 0].real + 1j * w[..., 256].real
+    want = np.fft.fft(packed, axis=-2)
+    assert rel_err(np.asarray(yr) + 1j * np.asarray(yi), want) < 1e-5
+    # full 3-D packed roundtrip + numpy layout through plan()
+    x3 = rng.standard_normal((64, 16, 512)).astype(np.float32)
+    pr, pi_ = pf.rfft3d_planar(x3, packed=True)
+    back = pf.irfft3d_planar(pr, pi_, 512, packed=True)
+    assert rel_err(np.asarray(back), x3) < 1e-5
+    got = pf.rfft3d_planar(x3)
+    want3 = np.fft.rfftn(x3.astype(np.float64))
+    assert rel_err(np.asarray(got[0]) + 1j * np.asarray(got[1]), want3) < 1e-5
+    # 1-D packed c2r kernel, dual branch
+    x1 = rng.standard_normal((16, 512)).astype(np.float32)
+    qr, qi = pf.rfft_last_planar(x1, packed=True)
+    back1 = pf.icrfft_last_planar(np.asarray(qr), np.asarray(qi))
+    assert rel_err(back1, x1) < 1e-5
