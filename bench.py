@@ -71,7 +71,7 @@ def main():
     # tries=4 repeats each loop length on the SAME compiled executable
     # (an outer min-of-N would re-trace and recompile both fori_loop
     # programs every repeat — ~40 s each on the remote-compile runtime)
-    t_ours = time_fn_looped(lambda c: tuple(p._fn(*c)), (re, im), tries=4)
+    t_ours = time_fn_looped(lambda c: tuple(p._fn(*c)), (re, im), tries=6)
     gflops = flops / t_ours / 1e9
 
     def xla_fft(c):
