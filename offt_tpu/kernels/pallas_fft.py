@@ -170,6 +170,12 @@ def _tables(n: int, r1: int, inverse: bool, scale: float = 1.0,
     out = {"twr": tw.real.astype(np.float32),
            "twi": tw.imag.astype(np.float32)}
     if stacked and loop_core:
+        # NOTE (measured, r2): pairing adjacent k1 stage-B matrices into
+        # block-diagonal (4r2, 24r2) dots for full 128-row MXU occupancy
+        # LOSES on v5e (256^3 c2c 1.94 ms vs 1.60 unpaired; big slab
+        # flat) — Mosaic already amortizes weight loads across the
+        # unrolled per-k1 dots, and the doubled weight footprint only
+        # hurts. Keep the per-group (2r2, 12r2) layout.
         out["g1"] = _stack6_np(g1)                 # (2r1, 12r1) bf16
         out["g2"] = _stack6_np(g2)                 # (r1, 2r2, 12r2) bf16
     else:
