@@ -80,8 +80,29 @@ def _params_from_json(d: dict) -> PlanParams:
     return PlanParams(**d)
 
 
+def _bundled() -> dict:
+    """Curated tuned plans shipped WITH the package (hardware-tuned on
+    v5e, receipts in docs/receipts/) — a fresh install gets measured
+    wins (e.g. 320^3's mixed stage orders, 12%) without having tuned
+    locally. The user cache always takes precedence; FFTW ships no
+    analogue (wisdom is local-only)."""
+    global _BUNDLED_DB
+    if _BUNDLED_DB is None:
+        f = pathlib.Path(__file__).parent / "tuned_defaults.json"
+        try:
+            _BUNDLED_DB = json.loads(f.read_text())
+        except (OSError, json.JSONDecodeError):
+            _BUNDLED_DB = {}
+    return _BUNDLED_DB
+
+
+_BUNDLED_DB: dict | None = None
+
+
 def lookup(key: str) -> Optional[PlanParams]:
     rec = _load().get(key)
+    if rec is None:
+        rec = _bundled().get(key)
     if rec is None:
         return None
     try:

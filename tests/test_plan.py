@@ -110,3 +110,19 @@ def test_plan_key_distinguishes_direction_and_mode():
     k_bs = cache.plan_key((64,) * 3, "complex64", False, 2, 4, "v5e",
                           batch_sharded=True)
     assert len({k_fwd, k_inv, k_bs}) == 3
+
+
+def test_bundled_tuned_defaults(tmp_path, monkeypatch):
+    """Curated hardware-tuned plans ship with the package: a fresh cache
+    (no local entries) still resolves the bundled 320^3 v5e entry; a
+    local store for the same key takes precedence."""
+    monkeypatch.setenv("OFFT_TPU_CACHE_DIR", str(tmp_path))
+    from offt_tpu.plan import cache
+
+    key = "320x320x320|complex64|c2c|1x1|TPU v5 lite|b1"
+    got = cache.lookup(key)
+    assert got is not None
+    assert got.radix_z == (16, 20) and got.radix_y == (20, 16)
+    override = got.replace(radix_z=(20, 16))
+    cache.store(key, override, perf=1e-9)
+    assert cache.lookup(key).radix_z == (20, 16)
