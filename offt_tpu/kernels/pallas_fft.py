@@ -516,6 +516,11 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
         out_shape=(jax.ShapeDtypeStruct((bp, n), jnp.float32),
                    jax.ShapeDtypeStruct((bp, n), jnp.float32)),
         interpret=_interpret(),
+        # in/out planar pairs double-buffered + transpose/core temps;
+        # without this the default 16M scoped limit rejects n >= 2048
+        # at the default 512-row block (hit at 8x2048^2 2-D, r2)
+        **_vmem_params(16 * tb * n * 4
+                       + sum(c.nbytes for c in consts) + (1 << 20)),
     )(xr2, xi2, *consts)
     if bp != b:
         yr = yr[:b]

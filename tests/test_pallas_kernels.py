@@ -331,3 +331,14 @@ def test_dual_untangle_branches():
     qr, qi = pf.rfft_last_planar(x1, packed=True)
     back1 = pf.icrfft_last_planar(np.asarray(qr), np.asarray(qi))
     assert rel_err(back1, x1) < 1e-5
+
+
+def test_fft_last_large_n():
+    """n=2048 last-axis kernel: the default 512-row block needs the
+    scoped-vmem limit RAISED (32 MB vs Mosaic's 16 MB default) — found
+    on hardware via 8x2048^2 2-D plans (r2); interpret mode locks the
+    call structure and numerics."""
+    x = rand_c64((4, 2048), seed=20)
+    yr, yi = pf.fft_last(x.real.copy(), x.imag.copy())
+    assert rel_err(np.asarray(yr) + 1j * np.asarray(yi),
+                   np.fft.fft(x, axis=-1)) < 1e-5
