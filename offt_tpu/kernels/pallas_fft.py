@@ -1069,6 +1069,11 @@ def rfft_last_planar(x: jax.Array, radices=None,
         out_shape=(jax.ShapeDtypeStruct((bp, mo), jnp.float32),
                    jax.ShapeDtypeStruct((bp, mo), jnp.float32)),
         interpret=_interpret(),
+        # large-M guard (same bug class as fft_last at n>=2048, r2);
+        # 24 blocks: the dual-transform untangle doubles the core temps
+        # (measured 20.6M actual vs a 16-block 19.1M estimate at m=2048)
+        **_vmem_params(24 * tb * max(m, mo) * 4
+                       + sum(c.nbytes for c in consts) + (1 << 20)),
     )(vr, vi, *consts)
     if bp != b:
         yr = yr[:b]
@@ -1693,6 +1698,10 @@ def icrfft_last_planar(xr: jax.Array, xi: jax.Array, n: int = 0,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((bp, n), jnp.float32),
         interpret=_interpret(),
+        # large-M guard (same bug class as fft_last at n>=2048, r2);
+        # 24 blocks: the dual re-tangle runs two inverse cores
+        **_vmem_params(24 * tb * n * 4
+                       + sum(c.nbytes for c in consts) + (1 << 20)),
     )(xr2, xi2, *consts)
     if bp != b:
         out = out[:b]
