@@ -55,7 +55,7 @@ def main():
     import jax.numpy as jnp
 
     import offt_tpu
-    from offt_tpu.obs.profile import time_fn_looped
+    from offt_tpu.obs.profile import time_fn_looped, time_fn_looped_stats
 
     n = int(os.environ.get("OFFT_BENCH_N", "256"))
     shape = (n, n, n)
@@ -66,12 +66,18 @@ def main():
     re = jax.device_put(rng.standard_normal(shape).astype(np.float32))
     im = jax.device_put(rng.standard_normal(shape).astype(np.float32))
 
-    p = offt_tpu.plan(shape, "complex64", planar=True, norm="ortho")
-    # the tunneled chip shows ±10% run-to-run variance (shared tenancy);
-    # tries=4 repeats each loop length on the SAME compiled executable
-    # (an outer min-of-N would re-trace and recompile both fori_loop
-    # programs every repeat — ~40 s each on the remote-compile runtime)
-    t_ours = time_fn_looped(lambda c: tuple(p._fn(*c)), (re, im), tries=6)
+    # use_cache=True: explicitly pick the tuned cached/bundled plan if one
+    # exists for this shape on this device kind (plan/tuned_defaults.json)
+    p = offt_tpu.plan(shape, "complex64", planar=True, norm="ortho",
+                      use_cache=True)
+    # the tunneled chip shows ±10% run-to-run variance (shared tenancy).
+    # Both fori_loop programs are compiled ONCE (~40 s each remote), then
+    # ``pairs`` independent loop-pair differences are drawn on the same
+    # executables; the headline is the MEDIAN pair, and the spread is
+    # reported so a bad draw is visible instead of silently mis-grading.
+    st = time_fn_looped_stats(lambda c: tuple(p._fn(*c)), (re, im),
+                              tries=3, pairs=5)
+    t_ours = st["median"]
     gflops = flops / t_ours / 1e9
 
     def xla_fft(c):
@@ -87,11 +93,18 @@ def main():
         print(f"# xla fft baseline failed: {e}", file=sys.stderr)
         vs_baseline = None
 
+    spread = (st["max"] - st["min"]) / t_ours if t_ours else 0.0
     print(json.dumps({
         "metric": f"3dfft_{n}^3_c2c_single_chip",
         "value": round(gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        # distribution over independent loop-pair differences (same
+        # executables): value is the median; best/spread expose session
+        # variance on the shared tunneled chip
+        "best": round(flops / st["min"] / 1e9, 2),
+        "spread_rel": round(spread, 3),
+        "pairs_ms": [round(x * 1e3, 3) for x in st["pairs"]],
     }))
 
 

@@ -53,7 +53,8 @@ def axis_fft(c, axis: int, inverse: bool, radices, params: PlanParams):
                                          radices=radices,
                                          precision=params.precision,
                                          block=params.block_batch)
-    return fft_1d(c, axis=axis, inverse=inverse, radices=radices)
+    return fft_1d(c, axis=axis, inverse=inverse, radices=radices,
+                  precision=params.precision)
 
 
 def _ring_all_to_all(x, axis_name: str, split_axis: int, concat_axis: int, size: int):

@@ -885,7 +885,8 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
     # tz is only legal when it equals BOTH the input pad width and the
     # output extent (Mosaic: block lane dim = 128-mult or full extent)
     zo_chk = max(out_lanes, z_true)
-    if ny % ty or z_true % tz or (tz % 128 and not (tz == zp == zo_chk)):
+    if (ny % ty or z_true % tz or zo_chk % tz
+            or (tz % 128 and not (tz == zp == zo_chk))):
         raise ValueError(f"tile ({ty},{tz}) illegal for ({ny},{z_true})")
     consts = [jnp.asarray(c) for c in
               _core_tables(n, rad, inverse, scale,

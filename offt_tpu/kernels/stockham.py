@@ -41,13 +41,22 @@ _PRECISION = "highest"
 
 
 def set_matmul_precision(p: str) -> None:
-    """Set DFT matmul precision: 'default' | 'high' | 'highest'."""
+    """Set the module-default DFT matmul precision: 'default' | 'high' |
+    'highest'. Per-plan overrides flow through ``fft_1d(precision=...)``
+    instead (PlanParams.precision — 'stack6' is a Pallas-kernel-only mode
+    and maps to 'highest' here)."""
     global _PRECISION
     _PRECISION = p
 
 
-def _einsum(subscripts, *ops):
-    return jnp.einsum(subscripts, *ops, precision=_PRECISION)
+def _resolve_precision(p):
+    if p is None:
+        return _PRECISION
+    return "highest" if p == "stack6" else p
+
+
+def _einsum(subscripts, *ops, precision=None):
+    return jnp.einsum(subscripts, *ops, precision=_resolve_precision(precision))
 
 
 def _as_complex_dtype(dtype) -> jnp.dtype:
@@ -59,28 +68,30 @@ def _as_complex_dtype(dtype) -> jnp.dtype:
     return jnp.dtype(jnp.complex64)
 
 
-def _apply_dft(x: jax.Array, n: int, inverse: bool) -> jax.Array:
+def _apply_dft(x: jax.Array, n: int, inverse: bool,
+               precision=None) -> jax.Array:
     """Dense DFT along the second-to-last axis of x shaped (..., n, m)."""
     f = jnp.asarray(dft.dft_matrix(n, x.dtype, inverse))
     # (..., n, m) contracted with (k, n) -> (..., k, m): one batched matmul.
-    return _einsum("kn,...nm->...km", f, x)
+    return _einsum("kn,...nm->...km", f, x, precision=precision)
 
 
-def _fft_last(x: jax.Array, radices: tuple[int, ...], inverse: bool) -> jax.Array:
+def _fft_last(x: jax.Array, radices: tuple[int, ...], inverse: bool,
+              precision=None) -> jax.Array:
     """FFT along the last axis; len(x[-1]) == prod(radices). No 1/N scaling."""
     n = x.shape[-1]
     if n == 1:
         return x
     if len(radices) == 1:
         f = jnp.asarray(dft.dft_matrix(n, x.dtype, inverse))
-        return _einsum("kn,...n->...k", f, x)
+        return _einsum("kn,...n->...k", f, x, precision=precision)
     r, rest = radices[0], radices[1:]
     m = n // r
     x = x.reshape(x.shape[:-1] + (r, m))
-    y = _apply_dft(x, r, inverse)
+    y = _apply_dft(x, r, inverse, precision=precision)
     tw = jnp.asarray(dft.twiddles(r, m, x.dtype, inverse))
     y = y * tw
-    z = _fft_last(y, rest, inverse)          # (..., r, m) transformed along m
+    z = _fft_last(y, rest, inverse, precision=precision)
     z = jnp.swapaxes(z, -1, -2)              # (..., m, r): X[k2*r + k1]
     return z.reshape(z.shape[:-2] + (n,))
 
@@ -107,7 +118,7 @@ def _bluestein_tables(n: int, dtype_name: str, inverse: bool):
     return a.astype(dtype), bf.astype(dtype), m
 
 
-def _bluestein_last(x: jax.Array, inverse: bool) -> jax.Array:
+def _bluestein_last(x: jax.Array, inverse: bool, precision=None) -> jax.Array:
     """Arbitrary-length FFT along the last axis via chirp-z (Bluestein)."""
     n = x.shape[-1]
     a, bf, m = _bluestein_tables(n, str(x.dtype), inverse)
@@ -116,9 +127,9 @@ def _bluestein_last(x: jax.Array, inverse: bool) -> jax.Array:
     pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
     xa = jnp.pad(x * a, pad)
     rad = dft.factorize(m)
-    xf = _fft_last(xa, rad, inverse=False)
+    xf = _fft_last(xa, rad, inverse=False, precision=precision)
     yf = xf * bf
-    y = _fft_last(yf, rad, inverse=True) / m
+    y = _fft_last(yf, rad, inverse=True, precision=precision) / m
     return y[..., :n] * a
 
 
@@ -127,11 +138,15 @@ def fft_1d(
     axis: int = -1,
     inverse: bool = False,
     radices: tuple[int, ...] | None = None,
+    precision: str | None = None,
 ) -> jax.Array:
     """1-D FFT along ``axis`` (complex in, complex out, numpy convention).
 
     Forward matches ``np.fft.fft``; inverse matches ``np.fft.ifft`` (scaled
     by 1/N). ``radices`` overrides the stage factorization (a tuning knob).
+    ``precision`` overrides the MXU precision for the DFT contractions
+    ('default' | 'high' | 'highest'; 'stack6' maps to 'highest' here —
+    it is a Pallas-kernel mode); None keeps the module default.
     """
     x = jnp.asarray(x)
     x = x.astype(_as_complex_dtype(x.dtype))
@@ -144,9 +159,9 @@ def fft_1d(
     else:
         rad = dft.factorize(n)
     if all(r <= dft.MAX_RADIX for r in rad):
-        out = _fft_last(x, rad, inverse)
+        out = _fft_last(x, rad, inverse, precision=precision)
     else:
-        out = _bluestein_last(x, inverse)
+        out = _bluestein_last(x, inverse, precision=precision)
     if inverse:
         out = out / n
     if axis != x.ndim - 1:

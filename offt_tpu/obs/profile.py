@@ -67,9 +67,29 @@ def time_fn_looped(body, carry, k1: int = 4, k2: int = 44,
             yr, yi = rfft(x)
             return fence(x, yr[0, 0, 0])
     """
+    return time_fn_looped_stats(body, carry, k1=k1, k2=k2, tries=tries,
+                                pairs=1)["min"]
+
+
+def time_fn_looped_stats(body, carry, k1: int = 4, k2: int = 44,
+                         tries: int = 2, pairs: int = 3) -> dict:
+    """Like :func:`time_fn_looped` but reports the DISTRIBUTION over
+    ``pairs`` independent loop-pair differences instead of a single draw.
+
+    The tunneled chip shows ±10% session variance; a single (t_k2-t_k1)
+    difference can under- or over-report a build by a round's worth of
+    progress. Both fori_loop programs are compiled ONCE (remote compiles
+    are ~40 s each); each pair then interleaves ``tries`` executions of
+    each length and differences the per-pair minima. Returns::
+
+        {"median": s, "min": s, "max": s, "pairs": [s, ...]}
+
+    ``median`` is the honest headline; ``(max-min)/median`` is the
+    observed relative spread of the session.
+    """
     import jax
 
-    def runner(k):
+    def compile_runner(k):
         @jax.jit
         def run(c):
             return jax.lax.fori_loop(0, k, lambda i, c: body(c), c)
@@ -77,18 +97,30 @@ def time_fn_looped(body, carry, k1: int = 4, k2: int = 44,
         out = run(carry)
         leaf = jax.tree_util.tree_leaves(out)[0]
         _ = float(leaf[(0,) * leaf.ndim])      # warm compile + drain
-        best = float("inf")
-        for _i in range(tries):
-            t0 = time.perf_counter()
-            out = run(carry)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            _ = float(leaf[(0,) * leaf.ndim])
-            best = min(best, time.perf_counter() - t0)
-        return best
 
-    ta = runner(k1)
-    tb = runner(k2)
-    return max((tb - ta) / (k2 - k1), 1e-9)
+        def measure():
+            best = float("inf")
+            for _i in range(tries):
+                t0 = time.perf_counter()
+                o = run(carry)
+                lf = jax.tree_util.tree_leaves(o)[0]
+                _ = float(lf[(0,) * lf.ndim])
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return measure
+
+    m_a = compile_runner(k1)
+    m_b = compile_runner(k2)
+    diffs = []
+    for _p in range(pairs):
+        ta = m_a()
+        tb = m_b()
+        diffs.append(max((tb - ta) / (k2 - k1), 1e-9))
+    srt = sorted(diffs)
+    mid = len(srt) // 2
+    median = (srt[mid] if len(srt) % 2 else 0.5 * (srt[mid - 1] + srt[mid]))
+    return {"median": median, "min": srt[0], "max": srt[-1], "pairs": diffs}
 
 
 def fence(x, dep):

@@ -478,8 +478,11 @@ def plan(
     # silently route r2c onto the unfused fallback (and break packed=True)
     dt = jnp.dtype(dtype)
     if real and dt.kind == "f":
-        dt = jnp.dtype("complex64" if dt == jnp.dtype("float32")
-                       else "complex128")
+        # only float64 promotes to the fp64 pipeline; float32 AND the
+        # half precisions (float16/bfloat16) map to complex64 — the
+        # transform accumulates in f32 regardless of storage precision
+        dt = jnp.dtype("complex128" if dt == jnp.dtype("float64")
+                       else "complex64")
     spec = ProblemSpec(shape=tuple(shape), dtype=str(dt),
                        real=real, inverse=inverse, p=p,
                        batch_sharded=batch_sharded)

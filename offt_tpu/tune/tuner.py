@@ -42,10 +42,18 @@ def _chained_diff(chain: Callable[[int], float], k_small: int, k_large: int,
     an unmeasurable candidate can never rank first."""
     chain(k_small)  # warm
     for _ in range(3):
-        t_s = min(chain(k_small) for _ in range(tries))
+        samples = [chain(k_small) for _ in range(tries)]
+        t_s = min(samples)
+        jitter = max(samples) - t_s  # observed session noise at this length
         t_l = min(chain(k_large) for _ in range(tries))
         d = t_l - t_s
-        if d > 0.05 * t_s:
+        # accept when the slope clears either the relative bar (5% of the
+        # short chain, which is dominated by the ~0.6 s constant tunnel
+        # readback) or an absolute one derived from the measured jitter —
+        # without the absolute arm, very fast plans (<1 ms/iter) need
+        # k_large escalated past 64 before 0.05*t_s (~30 ms) is reachable,
+        # tripling every trial's cost for no information
+        if d > 0.05 * t_s or d > max(3e-3, 2.0 * jitter):
             return d / (k_large - k_small)
         k_large *= 4
     return INF

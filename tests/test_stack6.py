@@ -110,7 +110,12 @@ def test_precision_feasibility():
     from offt_tpu.plan.params import PlanParams, ProblemSpec, infeasible_reason
 
     spec = ProblemSpec((64, 64, 64))
-    assert infeasible_reason(spec, PlanParams(precision="stack6")) is None
+    assert infeasible_reason(
+        spec, PlanParams(precision="stack6", use_pallas=1)) is None
     assert infeasible_reason(spec, PlanParams(precision="bogus")) is not None
     assert infeasible_reason(
         spec, PlanParams(precision="high", use_pallas=1)) is not None
+    # stack6 without the Pallas kernels is a duplicate of 'highest' on the
+    # unfused path — rejected so the search space has no identical points
+    assert infeasible_reason(
+        spec, PlanParams(precision="stack6", use_pallas=0)) is not None
