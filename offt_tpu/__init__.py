@@ -18,6 +18,8 @@ from .kernels.pallas_fft import pack_rfft3d, unpack_rfft3d
 from .plan.api import (
     Plan,
     fft2d,
+    rfft2d,
+    irfft2d,
     fft3d,
     from_planar,
     ifft2d,
@@ -31,6 +33,8 @@ from .plan.api import (
 __all__ = [
     "Plan",
     "fft2d",
+    "rfft2d",
+    "irfft2d",
     "ifft2d",
     "fft3d",
     "from_planar",

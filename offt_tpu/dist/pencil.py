@@ -348,6 +348,9 @@ def make_phase_trials(
     rad_y=None,
     rad_x=None,
     k: int = 2,
+    first_fn=None,
+    last_fn=None,
+    z_freq_len: int = 0,
 ):
     """FAST_TUNING trial programs (offt-compute.c:3538-3548, driver -A
     run-fft.c:219): two shard_map'd sub-programs that execute only the
@@ -357,18 +360,23 @@ def make_phase_trials(
     drops ~t/k while preserving the per-chunk cost structure (the outputs
     are numerically meaningless; only wall time matters).
 
+    ``first_fn``/``last_fn``/``z_freq_len`` mirror make_pencil_fft3d's
+    r2c/c2r overrides (the reference's extrapolation wraps the r2c phases
+    too): a real-forward trial1 consumes the REAL z-pencil input and runs
+    the true fold-kernel per chunk; a c2r trial feeds the half-spectrum.
+
     Returns ((fn1, in_spec1, in_shape1, w1), (fn2, in_spec2, in_shape2, w2))
     with global input shapes/specs for synthesizing trial operands.
-    c2c only (the r2c first/last overrides share the same chunk loops).
     """
     p1, p2 = mesh_shape(mesh)
     nx, ny, nz = shape
+    nzt = z_freq_len or nz
     ax, ay, az = _spatial_axes(ndim)
     batch = _batch_spec(mesh, ndim)
     if not inverse:
         a_first, a_mid, a_last = az, ay, ax
         name1, size1, name2, size2 = COL, p2, ROW, p1
-        pad_first, mid_true = _ceil_to(nz, p2), ny
+        pad_first, mid_true = _ceil_to(nzt, p2), ny
         mid_pad, last_true = _ceil_to(ny, p1), nx
         rad_first, rad_mid, rad_last = rad_z, rad_y, rad_x
         in_spec = P(*batch, ROW, COL, None)
@@ -380,22 +388,26 @@ def make_phase_trials(
         a_first, a_mid, a_last = ax, ay, az
         name1, size1, name2, size2 = ROW, p1, COL, p2
         pad_first, mid_true = _ceil_to(nx, p1), ny
-        mid_pad, last_true = _ceil_to(ny, p2), nz
+        mid_pad = _ceil_to(ny, p2)
+        # c2r's last_fn slices the padded frequency axis itself
+        last_true = 0 if last_fn is not None else nz
         rad_first, rad_mid, rad_last = rad_x, rad_y, rad_z
         in_spec = P(*batch, None, ROW, COL)
         mid_spec = P(*batch, ROW, None, COL)
         out_spec = P(*batch, ROW, COL, None)
-        in_shape = (nx, _ceil_to(ny, p1), _ceil_to(nz, p2))
-        mid_shape = (pad_first, ny, _ceil_to(nz, p2))
+        in_shape = (nx, _ceil_to(ny, p1), _ceil_to(nzt, p2))
+        mid_shape = (pad_first, ny, _ceil_to(nzt, p2))
     lead = (1,) * (ndim - 3)
     in_shape = lead + in_shape
     mid_shape = lead + mid_shape
 
     k1 = max(1, min(k, params.t1))
     k2 = max(1, min(k, params.t2))
-    do_first = lambda c: axis_fft(c, a_first, inverse, rad_first, params)
+    do_first = first_fn or (lambda c: axis_fft(c, a_first, inverse,
+                                               rad_first, params))
     do_mid = lambda c: axis_fft(c, a_mid, inverse, rad_mid, params)
-    do_last = lambda c: axis_fft(c, a_last, inverse, rad_last, params)
+    do_last = last_fn or (lambda c: axis_fft(c, a_last, inverse,
+                                             rad_last, params))
 
     def local1(xl):
         mid, _, _ = _phase1(

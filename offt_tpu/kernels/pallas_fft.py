@@ -199,6 +199,14 @@ def _pick_2stage(n: int, radices=None,
             return int(radices[0]), 1
         return None
     if stacked:
+        # per-element MXU pass cost: a dot stage of radix r streams
+        # ceil(2r/128) row tiles x ceil(12r/128) contraction passes per
+        # r transformed rows. The MXU+VPU split pays only its stage-A
+        # dots (the butterfly stage is VPU adds); tie-breaks prefer the
+        # split (frees the MXU) and then the smaller VPU radix.
+        def dot_cost(r):
+            return (-(-2 * r // 128)) * (-(-12 * r // 128)) / r
+
         best = None
         for a in range(2, _LOOP_MAX_RADIX + 1):
             if n % a != 0:
@@ -206,9 +214,18 @@ def _pick_2stage(n: int, radices=None,
             b = n // a
             if not (1 < b <= _LOOP_MAX_RADIX):
                 continue
-            cost = (-(-12 * a // 128) + -(-12 * b // 128), a)
+            cost = (dot_cost(a) + dot_cost(b), 1, a)
             if best is None or cost < best[0]:
                 best = (cost, (a, b))
+        for rv in (2, 4, 8):
+            if n % rv:
+                continue
+            rm = n // rv
+            if not (16 <= rm <= dft.MAX_RADIX):
+                continue
+            cost = (dot_cost(rm), 0, rv)
+            if best is None or cost < best[0]:
+                best = (cost, (rm, rv))
         if best is not None:
             return best[1]
     rad = dft.factorize(n)
@@ -301,6 +318,9 @@ def _core_tables(n: int, radices: tuple, inverse: bool, scale: float = 1.0,
                           * scale)
         return (g.astype(np.float32),)
     if len(radices) == 2:
+        if _is_vpu_split(radices):
+            return (_vpu_tables(n, radices[0], radices[1], inverse, scale,
+                                stacked),)
         t = _tables(n, radices[0], inverse, scale, stacked)
         return (t["g1"], t["g2"], t["twr"], t["twi"])
     r1, r2, r3 = radices
@@ -317,10 +337,13 @@ def _core_tables(n: int, radices: tuple, inverse: bool, scale: float = 1.0,
 
 
 def _core_apply(xr, xi, consts: list, radices: tuple,
-                precision: str = DEFAULT_PRECISION):
+                precision: str = DEFAULT_PRECISION, inverse: bool = False):
     """FFT over the first axis of (N, L) planar vectors with 1-3 radix
     stages; natural output order (DIT: flat output index composes as
-    k_last * (earlier radices product) + ... + k1)."""
+    k_last * (earlier radices product) + ... + k1).
+
+    ``inverse`` only steers the MXU+VPU core's butterfly sign — the dot
+    stages' direction is baked into the tables."""
     if len(radices) == 1:
         g = consts[0]
         xs = jnp.concatenate([xr, xi], axis=0)
@@ -329,6 +352,9 @@ def _core_apply(xr, xi, consts: list, radices: tuple,
                     precision=_dot_precision(precision))
         return y[:r], y[r:]
     if len(radices) == 2:
+        if len(consts) == 1:   # MXU+VPU split (see _is_vpu_split)
+            return _sublane_core_vpu(xr, xi, consts[0], radices[0],
+                                     radices[1], inverse, precision)
         g1, g2, twr, twi = consts
         return _sublane_core(xr, xi, g1, g2, twr, twi,
                              radices[0], radices[1], precision)
@@ -359,7 +385,8 @@ def _core_apply(xr, xi, consts: list, radices: tuple,
     for k1 in range(r1):
         br = jnp.stack([outs_r[j][k1] for j in range(m)], axis=0)
         bi = jnp.stack([outs_i[j][k1] for j in range(m)], axis=0)
-        yr, yi = _core_apply(br, bi, inner, radices[1:], precision)
+        yr, yi = _core_apply(br, bi, inner, radices[1:], precision,
+                             inverse=inverse)
         rows_r.append(yr)
         rows_i.append(yi)
     n = r1 * m
@@ -431,6 +458,124 @@ def _sublane_core_loop(xr, xi, g1, g2, twr, twi, r1, r2, precision):
     return yr, yi
 
 
+# --------------------------------------------------------------------------
+# MXU+VPU split core: N = rM * rV with the radix-rM stage as full-width
+# stacked dots and the radix-rV (2/4/8) stage as PURE-VPU butterflies.
+#
+# Why: the stacked radix dot's weight is (2r, 12r) — at r <= 32 it fills
+# at most 64 of the MXU's 128 output rows, so every pass wastes >= 50% of
+# the array (the measured root cause of the 2.1x-off-HBM-floor ceiling,
+# PARITY.md #5). Choosing rM with 2*rM a multiple of 128 (rM = 64, 128)
+# makes every weight row-tile FULL; the leftover factor rV = N/rM runs as
+# radix-2/4/8 butterflies on the VPU, whose twiddle factors are exactly
+# {±1, ±i, (±1±i)/sqrt2} — adds plus a couple of constant scalings, no
+# MXU time at all. The inter-stage twiddles W_N^{k1 j} are folded into
+# rV per-j copies of the stage-A matrix (row-scaled before the bf16
+# split, like the loop core's folded g2 — one less f32 rounding), which
+# costs nothing: a 12*rM-deep dot reloads weight tiles every 128 lanes
+# anyway. Per-element MXU cost drops from
+#   ceil(12*r1/128)/r1 + ceil(12*r2/128)/r2      (two dot stages)
+# to
+#   ceil(2*rM/128)*ceil(12*rM/128)/rM            (one full-width stage)
+# e.g. 256 = (8,32) 0.219 -> (64,4) 0.094 passes/element (2.3x), and
+# 512 = (16,32) 0.250 -> (64,8) 0.094 (2.7x).
+# Reference anchor: the phase kernels ARE the reference's perf core
+# (offt-compute.c:905-1206); this is the TPU-native re-expression.
+# --------------------------------------------------------------------------
+
+_SQRT_HALF = 0.7071067811865476
+
+
+def _is_vpu_split(radices) -> bool:
+    """True when a 2-stage radix pair routes to the MXU+VPU core."""
+    return (len(radices) == 2 and radices[1] in (2, 4, 8)
+            and 16 <= radices[0] <= dft.MAX_RADIX)
+
+
+@functools.lru_cache(maxsize=None)
+def _vpu_tables(n: int, r1: int, r2: int, inverse: bool, scale: float = 1.0,
+                stacked: bool = False) -> np.ndarray:
+    """Per-j stage-A matrices for the MXU+VPU core: g_j = fold(diag(
+    W_n^{k1 j} * scale) @ F_r1) stacked over j — the inter-stage twiddle
+    (and any norm scale) rides the constant, so the kernel's VPU work is
+    ONLY the radix-r2 butterfly adds."""
+    f1 = dft.dft_matrix(r1, np.complex128, inverse)
+    tw = dft.twiddles(r1, r2, np.complex128, inverse) * scale   # (r1, r2)
+    mats = [_fold_complex(f1 * tw[:, j][:, None]) for j in range(r2)]
+    if stacked:
+        return np.stack([_stack6_np(m) for m in mats])  # (r2, 2r1, 12r1) bf16
+    return np.stack(mats).astype(np.float32)            # (r2, 2r1, 2r1) f32
+
+
+def _bfly2(ts, inverse):
+    (ar, ai), (br, bi) = ts
+    return [(ar + br, ai + bi), (ar - br, ai - bi)]
+
+
+def _bfly4(ts, inverse):
+    (r0, i0), (r1_, i1), (r2_, i2), (r3, i3) = ts
+    u0r, u0i = r0 + r2_, i0 + i2
+    u1r, u1i = r0 - r2_, i0 - i2
+    u2r, u2i = r1_ + r3, i1 + i3
+    u3r, u3i = r1_ - r3, i1 - i3
+    y0 = (u0r + u2r, u0i + u2i)
+    y2 = (u0r - u2r, u0i - u2i)
+    if inverse:     # W4^-1 = +i
+        y1 = (u1r - u3i, u1i + u3r)
+        y3 = (u1r + u3i, u1i - u3r)
+    else:           # W4 = -i
+        y1 = (u1r + u3i, u1i - u3r)
+        y3 = (u1r - u3i, u1i + u3r)
+    return [y0, y1, y2, y3]
+
+
+def _bfly8(ts, inverse):
+    e = _bfly4(ts[0::2], inverse)
+    o = _bfly4(ts[1::2], inverse)
+    c = _SQRT_HALF
+    (o1r, o1i), (o2r, o2i), (o3r, o3i) = o[1], o[2], o[3]
+    if inverse:     # W8^-k: (1+i)/sqrt2, +i, (-1+i)/sqrt2
+        o1 = ((o1r - o1i) * c, (o1i + o1r) * c)
+        o2 = (-o2i, o2r)
+        o3 = ((-o3r - o3i) * c, (o3r - o3i) * c)
+    else:           # W8^k: (1-i)/sqrt2, -i, (-1-i)/sqrt2
+        o1 = ((o1r + o1i) * c, (o1i - o1r) * c)
+        o2 = (o2i, -o2r)
+        o3 = ((o3i - o3r) * c, (-o3i - o3r) * c)
+    tws = [o[0], o1, o2, o3]
+    return ([(e[k][0] + tws[k][0], e[k][1] + tws[k][1]) for k in range(4)]
+            + [(e[k][0] - tws[k][0], e[k][1] - tws[k][1]) for k in range(4)])
+
+
+_BFLY = {2: _bfly2, 4: _bfly4, 8: _bfly8}
+
+
+def _sublane_core_vpu(xr, xi, gs, r1, r2, inverse, precision):
+    """FFT over the first axis of (N, L) planar vectors, N = r1 * r2:
+    r2 full-width stage-A dots (twiddles pre-folded into gs[j]) followed
+    by a radix-r2 butterfly across the j accumulators — natural output
+    order (row index k2 * r1 + k1, same as the loop core)."""
+    n = r1 * r2
+    lanes = xr.shape[-1]
+    x3r = xr.reshape(r1, r2, lanes)
+    x3i = xi.reshape(r1, r2, lanes)
+    stacked = gs.dtype == jnp.bfloat16
+    prec = _dot_precision(precision)
+    ts = []
+    for j in range(r2):
+        xs = jnp.concatenate([x3r[:, j, :], x3i[:, j, :]], axis=0)
+        if stacked:
+            a = _stacked_dot(gs[j], xs)
+        else:
+            a = jnp.dot(gs[j], xs, preferred_element_type=jnp.float32,
+                        precision=prec)
+        ts.append((a[:r1], a[r1:]))
+    ys = _BFLY[r2](ts, inverse)
+    yr = jnp.stack([y[0] for y in ys], axis=0).reshape(n, lanes)
+    yi = jnp.stack([y[1] for y in ys], axis=0).reshape(n, lanes)
+    return yr, yi
+
+
 def _sublane_core_merge(xr, xi, g1, g2, twr, twi, r1, r2, precision):
     n = r1 * r2
     lanes = xr.shape[-1]
@@ -466,11 +611,13 @@ def _sublane_core_merge(xr, xi, g1, g2, twr, twi, r1, r2, precision):
 # last-axis kernel: VMEM-transpose sandwich around the sublane core
 # --------------------------------------------------------------------------
 
-def _last_kernel(*refs, radices: tuple, precision: str = DEFAULT_PRECISION):
+def _last_kernel(*refs, radices: tuple, precision: str = DEFAULT_PRECISION,
+                 inverse: bool = False):
     xr_ref, xi_ref = refs[0], refs[1]
     consts = [r[:] for r in refs[2:-2]]
     or_ref, oi_ref = refs[-2], refs[-1]
-    yr, yi = _core_apply(xr_ref[:].T, xi_ref[:].T, consts, radices, precision)
+    yr, yi = _core_apply(xr_ref[:].T, xi_ref[:].T, consts, radices, precision,
+                         inverse=inverse)
     or_ref[:] = yr.T
     oi_ref[:] = yi.T
 
@@ -502,7 +649,8 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     consts = [jnp.asarray(c) for c in
               _core_tables(n, rad, inverse, scale,
                            stacked=precision == "stack6")]
-    kernel = functools.partial(_last_kernel, radices=rad, precision=precision)
+    kernel = functools.partial(_last_kernel, radices=rad, precision=precision,
+                               inverse=inverse)
     grid = (bp // tb,)
     row_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -533,12 +681,14 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
 # --------------------------------------------------------------------------
 
 def _sublane_kernel(*refs, radices: tuple,
-                    precision: str = DEFAULT_PRECISION):
+                    precision: str = DEFAULT_PRECISION,
+                    inverse: bool = False):
     # data refs are (1, N, lanes) blocks
     xr_ref, xi_ref = refs[0], refs[1]
     consts = [r[:] for r in refs[2:-2]]
     or_ref, oi_ref = refs[-2], refs[-1]
-    yr, yi = _core_apply(xr_ref[0], xi_ref[0], consts, radices, precision)
+    yr, yi = _core_apply(xr_ref[0], xi_ref[0], consts, radices, precision,
+                         inverse=inverse)
     or_ref[0] = yr
     oi_ref[0] = yi
 
@@ -574,7 +724,7 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
               _core_tables(n, rad, inverse, scale,
                            stacked=precision == "stack6")]
     kernel = functools.partial(_sublane_kernel, radices=rad,
-                               precision=precision)
+                               precision=precision, inverse=inverse)
     grid = (pre, lanes // tl)
     blk = pl.BlockSpec((1, n, tl), lambda i, j: (i, 0, j),
                        memory_space=pltpu.VMEM)
@@ -728,7 +878,7 @@ _SLAB_VMEM_PLANES = 24
 
 
 def _slab_kernel(*refs, rz: tuple, ry: tuple, ncz: int,
-                 precision: str = DEFAULT_PRECISION):
+                 precision: str = DEFAULT_PRECISION, inverse: bool = False):
     # blocks are (TB, Y, Z): TB x-rows per block (bigger DMAs for small
     # slabs); the z stage batches all TB*Y pencils in one transposed core
     # call, the y stage runs per-row (y must be on sublanes per slab)
@@ -739,11 +889,13 @@ def _slab_kernel(*refs, rz: tuple, ry: tuple, ncz: int,
     tb, ny, nz = xr_ref.shape
     xr = xr_ref[:].reshape(tb * ny, nz)
     xi = xi_ref[:].reshape(tb * ny, nz)
-    zr, zi = _core_apply(xr.T, xi.T, cz, rz, precision)      # (Z, TB*Y)
+    zr, zi = _core_apply(xr.T, xi.T, cz, rz, precision,
+                         inverse=inverse)                    # (Z, TB*Y)
     zr = zr.T.reshape(tb, ny, nz)
     zi = zi.T.reshape(tb, ny, nz)
     for t in range(tb):
-        yr, yi = _core_apply(zr[t], zi[t], cy, ry, precision)  # (Y, Z)
+        yr, yi = _core_apply(zr[t], zi[t], cy, ry, precision,
+                             inverse=inverse)                  # (Y, Z)
         or_ref[t] = yr
         oi_ref[t] = yi
 
@@ -782,7 +934,7 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     cy = _core_tables(ny, ry, inverse, scale, stacked=stk)  # scale rides y
     consts = [jnp.asarray(v) for v in (*cz, *cy)]
     kernel = functools.partial(_slab_kernel, rz=rz, ry=ry, ncz=len(cz),
-                               precision=precision)
+                               precision=precision, inverse=inverse)
     # multiple x-rows per block (bigger DMAs; block_rows = tunable override).
     # Measured on v5e: tb=4 at 256^2 (2.25 -> 2.07 ms full 256^3),
     # tb=2 at 512^2 (17.8 -> 17.4 ms full 512^3), tb=8 at <=128^2 slabs.
@@ -809,7 +961,8 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
         out_shape=(jax.ShapeDtypeStruct(out_shape3, jnp.float32),
                    jax.ShapeDtypeStruct(out_shape3, jnp.float32)),
         interpret=_interpret(),
-        **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * nz * 4),
+        **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * nz * 4
+                       + sum(c.nbytes for c in consts)),
     )(xr3, xi3, *consts)
     out_trail = lead + (ny, nz + zpad)
     return yr.reshape(out_trail), yi.reshape(out_trail)
@@ -830,7 +983,8 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
 _STRIDE_PAD = 8
 
 
-def _x_strided_kernel(*refs, radices: tuple, precision: str):
+def _x_strided_kernel(*refs, radices: tuple, precision: str,
+                      inverse: bool = False):
     # data blocks are (1, X, TY, TZ)
     xr_ref, xi_ref = refs[0], refs[1]
     consts = [r[:] for r in refs[2:-2]]
@@ -838,7 +992,7 @@ def _x_strided_kernel(*refs, radices: tuple, precision: str):
     n, ty, z = xr_ref.shape[1], xr_ref.shape[2], xr_ref.shape[3]
     xr = xr_ref[0].reshape(n, ty * z)
     xi = xi_ref[0].reshape(n, ty * z)
-    yr, yi = _core_apply(xr, xi, consts, radices, precision)
+    yr, yi = _core_apply(xr, xi, consts, radices, precision, inverse=inverse)
     or_ref[0] = yr.reshape(n, ty, z)
     oi_ref[0] = yi.reshape(n, ty, z)
 
@@ -892,7 +1046,7 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
               _core_tables(n, rad, inverse, scale,
                            stacked=precision == "stack6")]
     kernel = functools.partial(_x_strided_kernel, radices=rad,
-                               precision=precision)
+                               precision=precision, inverse=inverse)
     blk = pl.BlockSpec((1, n, ty, tz), lambda i, j, k: (i, 0, j, k),
                        memory_space=pltpu.VMEM)
     const_spec = [pl.BlockSpec(c.shape, lambda i, j, k, c=c: (0,) * c.ndim,
@@ -941,7 +1095,7 @@ def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
               _core_tables(n, rad, inverse, scale,
                            stacked=precision == "stack6")]
     kernel = functools.partial(_x_strided_kernel, radices=rad,
-                               precision=precision)
+                               precision=precision, inverse=inverse)
     blk = pl.BlockSpec((1, n, ty, tz), lambda i, j, k: (i, 0, j, k),
                        memory_space=pltpu.VMEM)
     const_spec = [pl.BlockSpec(c.shape, lambda i, j, k, c=c: (0,) * c.ndim,
@@ -982,20 +1136,21 @@ def _rfft_tables(n: int, dtype_name: str = "float32"):
     return wr.astype(dt), wi.astype(dt)
 
 
-def _rfft_last_kernel(vr_ref, vi_ref, g1, g2, twr, twi, wr, wi,
-                      or_ref, oi_ref, *, r1: int, r2: int, precision: str,
+def _rfft_last_kernel(*refs, rm: tuple, ncm: int, precision: str,
                       packed: bool = False):
+    vr_ref, vi_ref = refs[0], refs[1]
+    cm = [r[:] for r in refs[2:2 + ncm]]
+    wr, wi = refs[2 + ncm], refs[3 + ncm]
+    or_ref, oi_ref = refs[-2], refs[-1]
     m = vr_ref.shape[1]
     vrt = vr_ref[:].T
     vit = vi_ref[:].T
     # half-length c2c with the packed rows on sublanes
-    vfr, vfi = _sublane_core(vrt, vit, g1[:], g2[:], twr[:], twi[:],
-                             r1, r2, precision)            # (M, TB)
+    vfr, vfi = _core_apply(vrt, vit, cm, rm, precision)    # (M, TB)
     # Mosaic has no reversal primitive; use conj(V[(M-k) mod M]) =
     # DFT(conj(v))[k] — a second half-length transform (compute-light at
     # these radices, and it shares the loaded inputs)
-    urr, uri = _sublane_core(vrt, -vit, g1[:], g2[:], twr[:], twi[:],
-                             r1, r2, precision)            # = conj(V[M-k])
+    urr, uri = _core_apply(vrt, -vit, cm, rm, precision)   # = conj(V[M-k])
     xer = 0.5 * (vfr + urr)
     xei = 0.5 * (vfi + uri)
     xor_ = 0.5 * (vfi - uri)
@@ -1051,11 +1206,10 @@ def rfft_last_planar(x: jax.Array, radices=None,
     if bp != b:
         vr = jnp.pad(vr, ((0, bp - b), (0, 0)))
         vi = jnp.pad(vi, ((0, bp - b), (0, 0)))
-    t = _tables(m, r1, inverse=False, stacked=precision == "stack6")
+    cm = _core_tables(m, pick, False, stacked=precision == "stack6")
     wr, wi = _rfft_tables(n)
-    consts = [jnp.asarray(v) for v in
-              (t["g1"], t["g2"], t["twr"], t["twi"], wr, wi)]
-    kernel = functools.partial(_rfft_last_kernel, r1=r1, r2=r2,
+    consts = [jnp.asarray(v) for v in (*cm, wr, wi)]
+    kernel = functools.partial(_rfft_last_kernel, rm=pick, ncm=len(cm),
                                precision=precision, packed=packed)
     in_spec = pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tb, mo), lambda i: (i, 0),
@@ -1220,8 +1374,8 @@ def can_use_rfft3d(nx: int, ny: int, nz: int,
             and can_use_padded_x(nx, ny, m, rad_x))
 
 
-def _rfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
-                      dual: bool):
+def _rfft_slab_kernel(*refs, rm: tuple, ry: tuple, ncm: int,
+                      precision: str, dual: bool):
     """Fused r2c(z)+fft(y) slab. Two untangle strategies (see
     _rfft_h_matrix / the module-level _H_DOT_MAX note):
 
@@ -1233,12 +1387,16 @@ def _rfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
       fft_M(conj(v))[k] as a SECOND half-length transform (Mosaic has no
       lane/sublane reversal primitive) and untangle on the VPU —
       2 z-stages + O(M) work instead of O(M^2)."""
+    x_ref = refs[0]
+    cm = [r[:] for r in refs[1:1 + ncm]]
+    nunt = 2 if dual else 1
+    unt = refs[1 + ncm:1 + ncm + nunt]
+    cy = [r[:] for r in refs[1 + ncm + nunt:-2]]
+    or_ref, oi_ref = refs[-2], refs[-1]
     if dual:
-        (x_ref, g1m, g2m, twrm, twim, wr, wi,
-         g1y, g2y, twry, twiy, or_ref, oi_ref) = refs
+        wr, wi = unt
     else:
-        (x_ref, g1m, g2m, twrm, twim, h_mat,
-         g1y, g2y, twry, twiy, or_ref, oi_ref) = refs
+        h_mat, = unt
     tb, ny, n = x_ref.shape
     m = n // 2
     flat = x_ref[:].reshape(tb * ny, n)
@@ -1246,11 +1404,9 @@ def _rfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
     v3 = xt.reshape(m, 2, tb * ny)                # sublane split: even/odd
     vrt = v3[:, 0, :]
     vit = v3[:, 1, :]
-    vfr, vfi = _sublane_core(vrt, vit, g1m[:], g2m[:], twrm[:], twim[:],
-                             rm[0], rm[1], precision)      # V = fft_M(v)
+    vfr, vfi = _core_apply(vrt, vit, cm, rm, precision)    # V = fft_M(v)
     if dual:
-        urr, uri = _sublane_core(vrt, -vit, g1m[:], g2m[:], twrm[:],
-                                 twim[:], rm[0], rm[1], precision)
+        urr, uri = _core_apply(vrt, -vit, cm, rm, precision)
         xer = 0.5 * (vfr + urr)                   # = conj(V[M-k]) parts
         xei = 0.5 * (vfi + uri)
         xor_ = 0.5 * (vfi - uri)
@@ -1270,8 +1426,7 @@ def _rfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
     zr = xs_r.T.reshape(tb, ny, m)
     zi = xs_i.T.reshape(tb, ny, m)
     for t in range(tb):
-        yr, yi = _sublane_core(zr[t], zi[t], g1y[:], g2y[:], twry[:],
-                               twiy[:], ry[0], ry[1], precision)
+        yr, yi = _core_apply(zr[t], zi[t], cy, ry, precision)
         or_ref[t] = yr
         oi_ref[t] = yi
 
@@ -1291,14 +1446,13 @@ def rfft_slab_yz(x: jax.Array, rad_y=None, rad_z=None,
     lead = x.shape[:-2]
     p = int(np.prod(lead)) if lead else 1
     x3 = x.reshape(p, ny, n).astype(jnp.float32)
-    tm = _tables(m, rm[0], inverse=False, stacked=precision == "stack6")
-    ty_ = _tables(ny, ry[0], inverse=False, stacked=precision == "stack6")
+    stk = precision == "stack6"
+    cm = _core_tables(m, rm, False, stacked=stk)
+    cy = _core_tables(ny, ry, False, stacked=stk)
     dual = m > _H_DOT_MAX
     untangle = _rfft_tables(n) if dual else (_rfft_h_matrix(n),)
-    consts = [jnp.asarray(v) for v in
-              (tm["g1"], tm["g2"], tm["twr"], tm["twi"], *untangle,
-               ty_["g1"], ty_["g2"], ty_["twr"], ty_["twi"])]
-    kernel = functools.partial(_rfft_slab_kernel, rm=rm, ry=ry,
+    consts = [jnp.asarray(v) for v in (*cm, *untangle, *cy)]
+    kernel = functools.partial(_rfft_slab_kernel, rm=rm, ry=ry, ncm=len(cm),
                                precision=precision, dual=dual)
     tb = block_rows or max(2, min(8, (1 << 18) // max(ny * m, 1)))
     while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * m * 4 > _VMEM_CAP:
@@ -1429,8 +1583,9 @@ def rfft3d_planar(x: jax.Array, rad_z=None, rad_y=None, rad_x=None,
     return unpack_rfft3d(yr, yi)
 
 
-def _crfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
-                       has_side: bool, dual: bool, scale: float = 1.0):
+def _crfft_slab_kernel(*refs, rm: tuple, ry: tuple, ncy: int, ncm: int,
+                       precision: str, has_side: bool, dual: bool,
+                       scale: float = 1.0):
     """Fused ifft(y) + c2r(z) slab. ``dual`` mirrors _rfft_slab_kernel:
     past _H_DOT_MAX the dense G re-tangle dot is replaced by TWO inverse
     half-transforms of diagonally pre-scaled inputs (the reversal in
@@ -1442,12 +1597,12 @@ def _crfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
         xr_ref, xi_ref, sr_ref, si_ref = refs[:4]
     else:
         xr_ref, xi_ref = refs[:2]
-    g1y, g2y, twry, twiy = refs[base:base + 4]
-    g1m, g2m, twrm, twim = refs[base + 4:base + 8]
+    cy = [r[:] for r in refs[base:base + ncy]]
+    cm = [r[:] for r in refs[base + ncy:base + ncy + ncm]]
     if dual:
-        ar_, ai_, gr_, gi_ = refs[base + 8:base + 12]
+        ar_, ai_, gr_, gi_ = refs[base + ncy + ncm:base + ncy + ncm + 4]
     else:
-        g_mat = refs[base + 8]
+        g_mat = refs[base + ncy + ncm]
     o_ref = refs[-1]
     tb, ny, m = xr_ref.shape
     n = 2 * m
@@ -1466,8 +1621,7 @@ def _crfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
             si = si_ref[t].T
             xr_t = xr_t + (-si) * mask
             xi_t = xi_t + sr * mask
-        yr, yi = _sublane_core(xr_t, xi_t, g1y[:], g2y[:],
-                               twry[:], twiy[:], ry[0], ry[1], precision)
+        yr, yi = _core_apply(xr_t, xi_t, cy, ry, precision, inverse=True)
         rows_r.append(yr)
         rows_i.append(yi)
     zr = jnp.stack(rows_r, axis=0).reshape(tb * ny, m).T   # (M, TB*Y)
@@ -1481,10 +1635,8 @@ def _crfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
         pi_ = ar_[:] * zi0 + ai_[:] * zr0
         qr = gr_[:] * zr0 - gi_[:] * zi0      # gamma . X'
         qi = gr_[:] * zi0 + gi_[:] * zr0
-        v1r, v1i = _sublane_core(pr, pi_, g1m[:], g2m[:], twrm[:],
-                                 twim[:], rm[0], rm[1], precision)
-        v2r, v2i = _sublane_core(qr, qi, g1m[:], g2m[:], twrm[:],
-                                 twim[:], rm[0], rm[1], precision)
+        v1r, v1i = _core_apply(pr, pi_, cm, rm, precision, inverse=True)
+        v2r, v2i = _core_apply(qr, qi, cm, rm, precision, inverse=True)
         s = jnp.float32(0.5 * scale)
         vr = v1r + v2r + s * (a0r + a0i)      # + V0 (idft(e0) = ones)
         vi = v1i - v2i + s * (a0r - a0i)
@@ -1493,8 +1645,8 @@ def _crfft_slab_kernel(*refs, rm: tuple, ry: tuple, precision: str,
         vs = jnp.dot(g_mat[:], jnp.concatenate([zr, zi], axis=0),
                      preferred_element_type=jnp.float32,
                      precision=_dot_precision(precision))
-        vr, vi = _sublane_core(vs[:m], vs[m:], g1m[:], g2m[:], twrm[:],
-                               twim[:], rm[0], rm[1], precision)
+        vr, vi = _core_apply(vs[:m], vs[m:], cm, rm, precision,
+                             inverse=True)
     # interleave: x[2j] = Re v, x[2j+1] = Im v (sublane-preserving reshape)
     out = jnp.stack([vr, vi], axis=1).reshape(n, tb * ny)
     o_ref[:] = out.T.reshape(tb, ny, n)
@@ -1523,8 +1675,9 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
     in3 = (p, ny, xr.shape[-1])
     xr3 = xr.reshape(in3)
     xi3 = xi.reshape(in3)
-    ty_ = _tables(ny, ry[0], inverse=True, stacked=precision == "stack6")
-    tm = _tables(m, rm[0], inverse=True, stacked=precision == "stack6")
+    stk = precision == "stack6"
+    cy = _core_tables(ny, ry, True, stacked=stk)
+    cm = _core_tables(m, rm, True, stacked=stk)
     # the unscaled inverse core computes a plain sum (no 1/M); the G
     # matrix (or the dual-path alpha/gamma diagonals + V0 term) carries
     # the whole requested scale
@@ -1536,11 +1689,9 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
         retangle = (ar_ * s, ai_ * s, gr_ * s, gi_ * s)
     else:
         retangle = (_crfft_g_matrix(n, float(scale)),)
-    consts = [jnp.asarray(v) for v in
-              (ty_["g1"], ty_["g2"], ty_["twr"], ty_["twi"],
-               tm["g1"], tm["g2"], tm["twr"], tm["twi"],
-               *retangle)]
+    consts = [jnp.asarray(v) for v in (*cy, *cm, *retangle)]
     kernel = functools.partial(_crfft_slab_kernel, rm=rm, ry=ry,
+                               ncy=len(cy), ncm=len(cm),
                                precision=precision, has_side=has_side,
                                dual=dual, scale=float(scale))
     tb = block_rows or max(2, min(8, (1 << 18) // max(ny * m, 1)))
@@ -1615,12 +1766,15 @@ def irfft3d_planar(xr: jax.Array, xi: jax.Array, nz: int = 0,
 # interleave, all inside the transpose sandwich.
 # --------------------------------------------------------------------------
 
-def _icrfft_last_kernel(*refs, r1: int, r2: int, precision: str,
+def _icrfft_last_kernel(*refs, rm: tuple, ncm: int, precision: str,
                         dual: bool, scale: float = 1.0):
+    xr_ref, xi_ref = refs[0], refs[1]
+    cm = [r[:] for r in refs[2:2 + ncm]]
     if dual:
-        xr_ref, xi_ref, g1, g2, twr, twi, ar_, ai_, gr_, gi_, o_ref = refs
+        ar_, ai_, gr_, gi_ = refs[2 + ncm:6 + ncm]
     else:
-        xr_ref, xi_ref, g1, g2, twr, twi, g_mat, o_ref = refs
+        g_mat = refs[2 + ncm]
+    o_ref = refs[-1]
     m = xr_ref.shape[1]
     zr = xr_ref[:].T                                   # (M, TB)
     zi = xi_ref[:].T
@@ -1634,10 +1788,8 @@ def _icrfft_last_kernel(*refs, r1: int, r2: int, precision: str,
         pi_ = ar_[:] * zi0 + ai_[:] * zr0
         qr = gr_[:] * zr0 - gi_[:] * zi0
         qi = gr_[:] * zi0 + gi_[:] * zr0
-        v1r, v1i = _sublane_core(pr, pi_, g1[:], g2[:], twr[:], twi[:],
-                                 r1, r2, precision)
-        v2r, v2i = _sublane_core(qr, qi, g1[:], g2[:], twr[:], twi[:],
-                                 r1, r2, precision)
+        v1r, v1i = _core_apply(pr, pi_, cm, rm, precision, inverse=True)
+        v2r, v2i = _core_apply(qr, qi, cm, rm, precision, inverse=True)
         s = jnp.float32(0.5 * scale)
         vr = v1r + v2r + s * (a0r + a0i)
         vi = v1i - v2i + s * (a0r - a0i)
@@ -1645,8 +1797,8 @@ def _icrfft_last_kernel(*refs, r1: int, r2: int, precision: str,
         vs = jnp.dot(g_mat[:], jnp.concatenate([zr, zi], axis=0),
                      preferred_element_type=jnp.float32,
                      precision=_dot_precision(precision))
-        vr, vi = _sublane_core(vs[:m], vs[m:], g1[:], g2[:], twr[:],
-                               twi[:], r1, r2, precision)  # v = idft_M(V)
+        vr, vi = _core_apply(vs[:m], vs[m:], cm, rm, precision,
+                             inverse=True)                 # v = idft_M(V)
     out = jnp.stack([vr, vi], axis=1).reshape(2 * m, xr_ref.shape[0])
     o_ref[:] = out.T
 
@@ -1675,16 +1827,15 @@ def icrfft_last_planar(xr: jax.Array, xi: jax.Array, n: int = 0,
     if bp != b:
         xr2 = jnp.pad(xr2, ((0, bp - b), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, bp - b), (0, 0)))
-    t = _tables(m, r1, inverse=True, stacked=precision == "stack6")
+    cm = _core_tables(m, pick, True, stacked=precision == "stack6")
     dual = m > _H_DOT_MAX
     if dual:
         s = np.float32(scale)
         retangle = tuple(v * s for v in _crfft_dual_tables(n))
     else:
         retangle = (_crfft_g_matrix(n, float(scale)),)
-    consts = [jnp.asarray(v) for v in
-              (t["g1"], t["g2"], t["twr"], t["twi"], *retangle)]
-    kernel = functools.partial(_icrfft_last_kernel, r1=r1, r2=r2,
+    consts = [jnp.asarray(v) for v in (*cm, *retangle)]
+    kernel = functools.partial(_icrfft_last_kernel, rm=pick, ncm=len(cm),
                                precision=precision, dual=dual,
                                scale=float(scale))
     in_spec = pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM)

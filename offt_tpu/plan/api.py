@@ -196,6 +196,47 @@ def _slice_axis(x, axis: int, target: int):
     return lax.slice_in_dim(x, 0, target, axis=axis)
 
 
+def real_stage_fns(params: PlanParams, nz: int, packed: bool, inverse: bool,
+                   real: bool = True):
+    """(first_fn, last_fn) overriding the distributed pipeline's z-stage
+    for real transforms (r2c fold forward / c2r unfold inverse) — shared
+    by the plan builder and the FAST_TUNING trial builder so trial
+    programs carry the true per-chunk r2c cost structure
+    (offt-compute.c:3538-3548 wraps the r2c path too)."""
+    first_fn = last_fn = None
+    if not real:
+        return first_fn, last_fn
+    nzf = nz // 2 if packed else nz // 2 + 1
+    if not inverse:
+        if packed:
+            from ..kernels import pallas_fft as pf
+
+            def first_fn(c):
+                yr, yi = pf.rfft_last_planar(
+                    c, radices=params.radix_z, precision=params.precision,
+                    packed=True)
+                return jax.lax.complex(yr, yi)
+        else:
+            def first_fn(c):
+                return _rfft_z(c, params, nz)
+    else:
+        if packed:
+            from ..kernels import pallas_fft as pf
+
+            def last_fn(c):
+                c = _slice_axis(c, c.ndim - 1, nzf)  # drop exchange pad
+                return pf.icrfft_last_planar(
+                    jnp.real(c), jnp.imag(c), nz, radices=params.radix_z,
+                    precision=params.precision)
+        else:
+            def last_fn(c):
+                c = _slice_axis(c, c.ndim - 1, nzf)
+                return irfft_1d(c, n=nz, axis=c.ndim - 1,
+                                radices=params.radix_z,
+                                fft_fn=_real_fft_fn(params))
+    return first_fn, last_fn
+
+
 def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                packed: bool = False):
     """Build the (untraced) transform fn. Returns (fn, in_shard, out_shard);
@@ -253,34 +294,8 @@ def _build_raw(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
     nyp1 = _ceil_to(ny, p1)
     nztp2 = _ceil_to(nzt, p2)
 
-    first_fn = None
-    last_fn = None
-    if spec.real and not spec.inverse:
-        if packed:
-            from ..kernels import pallas_fft as pf
-
-            def first_fn(c):
-                yr, yi = pf.rfft_last_planar(
-                    c, radices=params.radix_z, precision=params.precision,
-                    packed=True)
-                return jax.lax.complex(yr, yi)
-        else:
-            def first_fn(c):
-                return _rfft_z(c, params, nz)
-    if spec.real and spec.inverse:
-        if packed:
-            from ..kernels import pallas_fft as pf
-
-            def last_fn(c):
-                c = _slice_axis(c, az, nzf)   # drop exchange pad lanes
-                return pf.icrfft_last_planar(
-                    jnp.real(c), jnp.imag(c), nz, radices=params.radix_z,
-                    precision=params.precision)
-        else:
-            def last_fn(c):
-                c = _slice_axis(c, az, nzf)
-                return irfft_1d(c, n=nz, axis=az, radices=params.radix_z,
-                                fft_fn=_real_fft_fn(params))
+    first_fn, last_fn = real_stage_fns(params, nz, packed, spec.inverse,
+                                       real=spec.real)
 
     sm = make_pencil_fft3d(
         mesh, ndim, params, shape=(nx, ny, nz), inverse=spec.inverse,
@@ -558,20 +573,57 @@ def irfft3d(x, nz: Optional[int] = None, mesh=None, params=None, **kw):
     return p(x)
 
 
-# ---- 2-D conveniences (beyond the reference: same kernels, one axis fewer)
+# ---- 2-D transforms (same kernels, one axis fewer; distributed via the
+# METHOD-ONE analogue: a 1-D decomposition on a (1, p) mesh, where the
+# degenerate x axis makes phase 2's exchange trivial —
+# offt-compute.c:3896-3950)
 
-def fft2d(x, params=None, **kw):
-    """2-D c2c FFT over the last two axes (single device; the fused slab
-    kernel when expressible)."""
+def fft2d(x, params=None, mesh=None, **kw):
+    """2-D c2c FFT over the last two axes.
+
+    Single device: the fused (y, z) slab kernel when expressible.
+    Distributed: pass a ``make_mesh(1, p)`` mesh — rows are y-sharded,
+    the single pencil exchange transposes y<->z over the COL axis, and
+    the result comes back z-sharded (transposed-out layout, like the 3-D
+    pipeline). Any leading axes are replicated batch."""
     nd = x.ndim
     shape3 = (1,) + tuple(x.shape[nd - 2:])
-    p = plan(shape3, x.dtype, params=params, batch_dims=nd - 2, **kw)
-    return p(x.reshape(x.shape[:nd - 2] + shape3)).reshape(x.shape)
-
-
-def ifft2d(x, params=None, **kw):
-    nd = x.ndim
-    shape3 = (1,) + tuple(x.shape[nd - 2:])
-    p = plan(shape3, x.dtype, params=params, inverse=True,
+    p = plan(shape3, x.dtype, params=params, mesh=mesh,
              batch_dims=nd - 2, **kw)
     return p(x.reshape(x.shape[:nd - 2] + shape3)).reshape(x.shape)
+
+
+def ifft2d(x, params=None, mesh=None, **kw):
+    nd = x.ndim
+    shape3 = (1,) + tuple(x.shape[nd - 2:])
+    p = plan(shape3, x.dtype, params=params, mesh=mesh, inverse=True,
+             batch_dims=nd - 2, **kw)
+    return p(x.reshape(x.shape[:nd - 2] + shape3)).reshape(x.shape)
+
+
+def rfft2d(x, params=None, mesh=None, **kw):
+    """2-D r2c over the last two axes: real (..., Y, N) -> complex
+    (..., Y, N//2+1) (numpy rfft2 layout; ``packed=True`` keeps the
+    aligned M = N/2 half-spectrum). Distributed like :func:`fft2d`."""
+    nd = x.ndim
+    shape3 = (1,) + tuple(x.shape[nd - 2:])
+    p = plan(shape3, x.dtype, params=params, mesh=mesh, real=True,
+             batch_dims=nd - 2, **kw)
+    y = p(x.reshape(x.shape[:nd - 2] + shape3))
+    yshape = y.shape if not isinstance(y, tuple) else y[0].shape
+    out2 = x.shape[:nd - 2] + yshape[-2:]
+    if isinstance(y, tuple):                    # planar pair
+        return y[0].reshape(out2), y[1].reshape(out2)
+    return y.reshape(out2)
+
+
+def irfft2d(x, n: Optional[int] = None, params=None, mesh=None, **kw):
+    """2-D c2r over the last two axes (inverse of :func:`rfft2d`)."""
+    nd = x.ndim
+    nzf = x.shape[-1]
+    n = n if n is not None else 2 * (nzf - 1)
+    shape3 = (1, x.shape[nd - 2], n)
+    p = plan(shape3, x.dtype, params=params, mesh=mesh, real=True,
+             inverse=True, batch_dims=nd - 2, **kw)
+    y = p(x.reshape(x.shape[:nd - 2] + (1,) + x.shape[nd - 2:]))
+    return y.reshape(x.shape[:nd - 2] + (x.shape[nd - 2], n))

@@ -356,7 +356,8 @@ def tune(
     inverse transforms are tuned (and cached) separately — their pipelines
     chunk different axes per phase.
 
-    ``fast_trial=k`` (distributed c2c only) enables FAST_TUNING-style
+    ``fast_trial=k`` (distributed plans, incl. r2c/c2r and inverse)
+    enables FAST_TUNING-style
     trials (offt-compute.c:3538-3548, driver -A): each candidate is timed
     on truncated per-phase programs executing only the first k pipeline
     chunks, extrapolated by t/k — trial cost drops ~t/k at large shapes.
@@ -454,33 +455,57 @@ def tune(
         handle_by_params: dict = {}
         _exact_compile = compile_fn
 
-        use_trial = bool(fast_trial) and mesh is not None and not real
+        use_trial = bool(fast_trial) and mesh is not None
         if use_trial:
             import jax.numpy as _jnp
             from jax.sharding import NamedSharding
 
             from ..dist.pencil import make_phase_trials
+            from ..plan.api import real_stage_fns
+
+            nzf_trial = (shape[-1] // 2 + 1) if real else 0
 
             def _trial_compile(params: PlanParams):
+                first_fn, last_fn = real_stage_fns(
+                    params, shape[-1], packed=False, inverse=inverse,
+                    real=real)
                 trials = make_phase_trials(
                     mesh, 3, params, tuple(shape), inverse=inverse,
-                    rad_z=params.radix_z, rad_y=params.radix_y,
-                    rad_x=params.radix_x, k=int(fast_trial))
+                    rad_z=None if real else params.radix_z,
+                    rad_y=params.radix_y, rad_x=params.radix_x,
+                    k=int(fast_trial), first_fn=first_fn, last_fn=last_fn,
+                    z_freq_len=nzf_trial)
                 out = []
                 trng = np.random.default_rng(1)  # thread-local (batch compiles)
-                for fn, sspec, shp, w in trials:
-                    def planar(r, i, _fn=fn):
-                        c = _fn(_jax.lax.complex(r, i))
-                        return _jnp.real(c), _jnp.imag(c)
+                for idx, (fn, sspec, shp, w) in enumerate(trials):
+                    # a real-forward trial1 consumes the raw REAL z-pencil
+                    # (its first_fn does the fold); every other trial is
+                    # complex-in, fed as a planar pair
+                    real_in = real and not inverse and idx == 0
                     sh = NamedSharding(mesh, sspec)
-                    tr = _jax.device_put(
-                        trng.standard_normal(shp).astype(np.float32), sh)
-                    ti = _jax.device_put(
-                        trng.standard_normal(shp).astype(np.float32), sh)
-                    tav = (_jax.ShapeDtypeStruct(tr.shape, tr.dtype),) * 2
+                    if real_in:
+                        def planar(r, _fn=fn):
+                            c = _fn(r)
+                            return _jnp.real(c), _jnp.imag(c)
+                        tr = _jax.device_put(
+                            trng.standard_normal(shp).astype(np.float32), sh)
+                        args = (tr,)
+                        shards = (sh,)
+                    else:
+                        def planar(r, i, _fn=fn):
+                            c = _fn(_jax.lax.complex(r, i))
+                            return _jnp.real(c), _jnp.imag(c)
+                        tr = _jax.device_put(
+                            trng.standard_normal(shp).astype(np.float32), sh)
+                        ti = _jax.device_put(
+                            trng.standard_normal(shp).astype(np.float32), sh)
+                        args = (tr, ti)
+                        shards = (sh, sh)
+                    tav = tuple(_jax.ShapeDtypeStruct(a.shape, a.dtype)
+                                for a in args)
                     compiled = _jax.jit(
-                        planar, in_shardings=(sh, sh)).lower(*tav).compile()
-                    out.append((compiled, (tr, ti), w))
+                        planar, in_shardings=shards).lower(*tav).compile()
+                    out.append((compiled, args, w))
                 return tuple(out)
 
             def _measure_args(compiled, args, k_large: int,

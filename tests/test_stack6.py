@@ -42,11 +42,19 @@ def test_stack6_tables_are_bf16_stacked():
     assert t["g1"].dtype == np.float32
 
 
-def test_stack6_pick_prefers_small_r1():
-    assert pf._pick_2stage(256, stacked=True) == (8, 32)
-    assert pf._pick_2stage(128, stacked=True) == (8, 16)
+def test_stack6_pick_prefers_vpu_split():
+    # the MXU+VPU split (full-width stage-A dots + butterfly stage) wins
+    # the per-element pass-cost model at pow2 sizes
+    assert pf._pick_2stage(256, stacked=True) == (64, 4)
+    assert pf._pick_2stage(128, stacked=True) == (64, 2)
+    assert pf._pick_2stage(512, stacked=True) == (64, 8)
     # explicit radices always win
     assert pf._pick_2stage(256, radices=(16, 16), stacked=True) == (16, 16)
+    # among loop-core pairs the model still prefers small r1 on ties
+    # (historical (8,32)-beats-(16,16) measurement)
+    def dot_cost(r):
+        return (-(-2 * r // 128)) * (-(-12 * r // 128)) / r
+    assert dot_cost(8) + dot_cost(32) < dot_cost(16) + dot_cost(16)
 
 
 def test_stack6_fft3d_c2c(rng):

@@ -337,3 +337,39 @@ def test_layer_stack_transform():
                   layers=[tl])
     tuner.run()
     assert all(v % 2 == 0 for v in seen)            # evaluated canonical
+
+
+def test_tune_fast_trial_real_and_inverse(tmp_path, monkeypatch):
+    """fast_trial covers r2c and c2r too (offt-compute.c:3538-3548 wraps
+    every phase incl. is_r2c): trial1 of a real-forward tune consumes the
+    raw real z-pencil, and the c2r trials feed the half-spectrum."""
+    monkeypatch.setenv("OFFT_TPU_CACHE_DIR", str(tmp_path))
+    import numpy as np
+
+    import offt_tpu
+    from offt_tpu.dist import make_mesh
+    from offt_tpu.plan.params import ProblemSpec, is_feasible
+    from offt_tpu.tune import tune
+
+    mesh = make_mesh(2, 4)
+    res = tune((16, 16, 16), "complex64", mesh=mesh, real=True,
+               strategy="random", max_trials=3, include_radix=False,
+               fast_trial=2, log_path=str(tmp_path / "log.jsonl"))
+    spec = ProblemSpec(shape=(16, 16, 16), p=8, real=True)
+    assert is_feasible(spec, res.best_params)
+    assert res.best_perf > 0 and np.isfinite(res.best_perf)
+    p = offt_tpu.plan((16, 16, 16), "complex64", mesh=mesh, real=True,
+                      params=res.best_params, planar=True)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    yr, yi = p(x)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    want = np.fft.rfftn(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+    resi = tune((16, 16, 16), "complex64", mesh=mesh, real=True,
+                inverse=True, strategy="random", max_trials=3,
+                include_radix=False, fast_trial=2)
+    speci = ProblemSpec(shape=(16, 16, 16), p=8, real=True, inverse=True)
+    assert is_feasible(speci, resi.best_params)
+    assert resi.best_perf > 0 and np.isfinite(resi.best_perf)
