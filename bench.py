@@ -75,8 +75,14 @@ def main():
     # ``pairs`` independent loop-pair differences are drawn on the same
     # executables; the headline is the MEDIAN pair, and the spread is
     # reported so a bad draw is visible instead of silently mis-grading.
+    # tries=2 x pairs=4 = 16 timed executions: each costs a full tunnel
+    # readback round-trip (measured multi-second under congestion), and
+    # 4 pairs already bound the spread (observed 5% across 5)
+    t_start = time.perf_counter()
     st = time_fn_looped_stats(lambda c: tuple(p._fn(*c)), (re, im),
-                              tries=3, pairs=5)
+                              tries=2, pairs=4)
+    print(f"# ours timed in {time.perf_counter() - t_start:.0f}s",
+          file=sys.stderr)
     t_ours = st["median"]
     gflops = flops / t_ours / 1e9
 
@@ -87,7 +93,10 @@ def main():
     try:
         # short loops: XLA's per-iter time is ~3x ours, slope well above
         # noise, and each loop length costs a fresh ~40 s remote compile
+        t_start = time.perf_counter()
         t_xla = time_fn_looped(xla_fft, (re, im), k1=2, k2=12, tries=4)
+        print(f"# xla timed in {time.perf_counter() - t_start:.0f}s",
+              file=sys.stderr)
         vs_baseline = t_xla / t_ours  # >1 means we are faster
     except Exception as e:  # XLA FFT may be unsupported on some runtimes
         print(f"# xla fft baseline failed: {e}", file=sys.stderr)

@@ -22,6 +22,7 @@
 #include <unistd.h>
 
 #include <atomic>
+#include <cmath>
 #include <cctype>
 #include <chrono>
 #include <cstring>
@@ -362,7 +363,61 @@ class Server {
         path = r.substr(sp1 + 1, sp2 - sp1 - 1);
     }
     std::string body, ctype = "text/html";
-    if (path.rfind("/api/sessions", 0) == 0) {
+    if (path.rfind("/api/session/", 0) == 0) {
+      // incremental trial stream: /api/session/<id>?since=N returns
+      // history[N:] so the monitor page polls live without reloading
+      // (the flot refresh-loop analogue, httpsvr.c:62-77)
+      ctype = "application/json";
+      std::string tail = path.substr(strlen("/api/session/"));
+      size_t q = tail.find('?');
+      long since = 0;
+      if (q != std::string::npos) {
+        auto query = tail.substr(q + 1);
+        auto sp = query.find("since=");
+        if (sp != std::string::npos) since = atol(query.c_str() + sp + 6);
+        tail = tail.substr(0, q);
+      }
+      if (since < 0) since = 0;
+      auto s = find(atoi(tail.c_str()));
+      if (!s) {
+        const char* nf = "not found";
+        std::string h404 = "HTTP/1.0 404 Not Found\r\nContent-Type: "
+                           "text/plain\r\nContent-Length: 9\r\n\r\n";
+        std::string all404 = h404 + nf;
+        send(cfd, all404.data(), all404.size(), MSG_NOSIGNAL);
+        return;
+      }
+      std::lock_guard<std::mutex> lk2(s->mu);
+      char num[64];
+      body = "{\"id\": " + std::to_string(s->id) + ", \"name\": \"" +
+             json_escape(s->name) +
+             "\", \"total\": " + std::to_string(s->history.size()) +
+             ", \"converged\": " +
+             (s->engine->converged() ? "true" : "false") + ", \"best\": {";
+      if (std::isfinite(s->best_perf)) {
+        snprintf(num, sizeof(num), "%.17g", s->best_perf);
+        body += std::string("\"perf\": ") + num;
+      } else {
+        body += "\"perf\": null";
+      }
+      body += "}, \"trials\": [";
+      bool first = true;
+      for (size_t i = (size_t)std::min<long>(since, s->history.size());
+           i < s->history.size(); ++i) {
+        if (!first) body += ", ";
+        first = false;
+        snprintf(num, sizeof(num), "%.6f", s->history[i].first);
+        body += std::string("[") + num + ", [], ";
+        if (std::isfinite(s->history[i].second)) {
+          snprintf(num, sizeof(num), "%.17g", s->history[i].second);
+          body += num;
+        } else {
+          body += "null";
+        }
+        body += "]";
+      }
+      body += "]}";
+    } else if (path.rfind("/api/sessions", 0) == 0) {
       ctype = "application/json";
       body = "[";
       std::lock_guard<std::mutex> lk(mu_);
@@ -378,6 +433,54 @@ class Server {
                 (s->engine->converged() ? "true" : "false") + "}";
       }
       body += "]";
+    } else if (path.rfind("/session/", 0) == 0) {
+      auto s = find(atoi(path.c_str() + strlen("/session/")));
+      if (!s) {
+        std::string h404 = "HTTP/1.0 404 Not Found\r\nContent-Type: "
+                           "text/plain\r\nContent-Length: 9\r\n\r\nnot found";
+        send(cfd, h404.data(), h404.size(), MSG_NOSIGNAL);
+        return;
+      }
+      long sid2;
+      {
+        std::lock_guard<std::mutex> lk2(s->mu);
+        sid2 = s->id;
+        body = "<html><body><h2>" + html_escape(s->name) + "</h2>"
+               "<p id='best'>best: " + std::to_string(s->best_perf) +
+               "</p><svg width=600 height=200 style='border:1px solid "
+               "#ccc'><polyline id='chart' fill='none' stroke='#36c' "
+               "points=''/></svg><table border=1><tr><th>time</th>"
+               "<th>perf</th></tr><tbody id='hist'></tbody></table>";
+      }
+      // live polling of /api/session/<id>?since=N (textContent-only DOM
+      // writes; starts from 0 so the full history renders client-side)
+      body += "<script>\n"
+              "var SID=" + std::to_string(sid2) + ", seen=0, data=[];\n"
+              "function redraw(){var ps=data.filter(function(p){return "
+              "p!=null;}); if(!ps.length) return; var lo=Math.min.apply("
+              "null,ps), hi=Math.max.apply(null,ps), span=(hi-lo)||1, "
+              "pts=[];\n"
+              "for(var i=0;i<data.length;i++){ if(data[i]==null) continue;"
+              " pts.push((i/Math.max(data.length-1,1)*560+20).toFixed(1)+"
+              "','+(180-(data[i]-lo)/span*160).toFixed(1)); }\n"
+              "document.getElementById('chart').setAttribute('points', "
+              "pts.join(' '));}\n"
+              "function tick(){ fetch('/api/session/'+SID+'?since='+seen)"
+              ".then(function(r){return r.json();}).then(function(j){\n"
+              "if(j.trials.length){ var tb=document.getElementById('hist');"
+              " j.trials.forEach(function(tr){ var row=document."
+              "createElement('tr');\n"
+              "[new Date(tr[0]*1000).toLocaleTimeString(), tr[2]==null?"
+              "'inf':tr[2].toPrecision(6)].forEach(function(v){var td="
+              "document.createElement('td'); td.textContent=v; "
+              "row.appendChild(td);}); tb.appendChild(row); "
+              "data.push(tr[2]); });\n"
+              "seen=j.total; if(j.best&&j.best.perf!=null) document."
+              "getElementById('best').textContent='best: '+j.best.perf;"
+              " redraw(); }\n"
+              "if(!j.converged) setTimeout(tick, 1000); })"
+              ".catch(function(){ setTimeout(tick, 3000); }); }\n"
+              "tick();\n</script></body></html>";
     } else {
       body = "<html><head><title>offt-tpu tuning (native)</title></head>"
              "<body><h2>offt-tpu native tuning server</h2>"
@@ -386,7 +489,8 @@ class Server {
       std::lock_guard<std::mutex> lk(mu_);
       for (auto& [sid, s] : sessions_) {
         std::lock_guard<std::mutex> lk2(s->mu);
-        body += "<tr><td>" + html_escape(s->name) + "</td><td>" +
+        body += "<tr><td><a href='/session/" + std::to_string(sid) + "'>" +
+                html_escape(s->name) + "</a></td><td>" +
                 std::to_string(s->trials) + "</td><td>" +
                 std::to_string(s->best_perf) + "</td><td>" +
                 (s->engine->converged() ? "yes" : "no") + "</td></tr>";

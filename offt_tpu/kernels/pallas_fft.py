@@ -792,8 +792,8 @@ def fft3d_planar(xr, xi, inverse: bool = False,
     fuse = can_fuse_slab(ny, nz, rad_y, rad_z)
     if not inverse:
         # stride-padded x path: only when the slab fuses, x is 2-stage
-        # expressible, the batch is trivial (3-D arrays) and the x row
-        # stride is a bank-conflicting power of two
+        # expressible and the x row stride is a bank-conflicting power of
+        # two (leading batch dims ride along — both kernels take 4-D)
         nx_ = xr.shape[ax]
         row_stride = ny * nz * 4
         use_padded_x = (fuse

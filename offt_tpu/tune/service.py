@@ -188,6 +188,25 @@ class TuningServer:
                 body, status = "not found", "404 Not Found"
                 self._http_reply(sock, body, status)
                 return
+        elif path.startswith("/api/session/"):
+            # incremental trial stream (the live-update analogue of
+            # hserver's refresh loop, httpsvr.c:62-77 + hserver.c:520-555):
+            # /api/session/<id>?since=N returns trials[N:] so the page can
+            # poll without re-rendering history
+            try:
+                tail = path[len("/api/session/"):]
+                sid_s, _, query = tail.partition("?")
+                since = 0
+                for kv in query.split("&"):
+                    k, _, v = kv.partition("=")
+                    if k == "since":
+                        since = max(0, int(v))
+                body = self._session_json(int(sid_s), since)
+            except (ValueError, KeyError):
+                self._http_reply(sock, "not found", "404 Not Found")
+                return
+            self._http_reply(sock, body, ctype="application/json")
+            return
         elif path.startswith("/api/sessions"):
             body = json.dumps([
                 {"id": s.sid, "name": s.name, "trials": len(s.history),
@@ -219,6 +238,22 @@ class TuningServer:
                 "<table border=1><tr><th>session</th><th>trials</th>"
                 f"<th>converged</th></tr>{rows}</table></body></html>")
 
+    def _session_json(self, sid: int, since: int = 0) -> str:
+        s = self.sessions[sid]
+        with s.lock:
+            hist = list(s.history)
+        best_vals, best_perf = s.best()
+        if best_perf == float("inf"):
+            best_perf = None
+        return json.dumps({
+            "id": s.sid, "name": s.name, "total": len(hist),
+            "converged": s.converged(),
+            "best": {"point": best_vals, "perf": best_perf},
+            "trials": [[t, list(q), (None if p != p or p == float("inf")
+                                     else p)]
+                       for t, q, p in hist[since:]],
+        })
+
     def _session_page(self, sid: int) -> str:
         s = self.sessions[sid]
         hist = list(s.history)
@@ -241,13 +276,57 @@ class TuningServer:
             f"<td>{html.escape(repr(q))}</td><td>{p:.6g}</td></tr>"
             for t, q, p in hist[-200:])
         best_vals, best_perf = s.best()
+        # live updates: poll /api/session/<id>?since=N and append — the
+        # reference streams the same data into flot charts on a refresh
+        # loop (httpsvr.c:62-77); textContent-only DOM writes keep
+        # client-supplied values inert
+        script = """
+<script>
+var SID=%d, seen=%d, data=[];
+function redraw(){
+  var perfs=data.filter(function(p){return p!=null;});
+  if(!perfs.length) return;
+  var lo=Math.min.apply(null,perfs), hi=Math.max.apply(null,perfs);
+  var span=(hi-lo)||1, n=data.length, pts=[];
+  for(var i=0;i<n;i++){ if(data[i]==null) continue;
+    pts.push((i/(Math.max(n-1,1))*560+20).toFixed(1)+','+
+             (180-(data[i]-lo)/span*160).toFixed(1)); }
+  document.getElementById('chart').setAttribute('points', pts.join(' '));
+}
+function tick(){
+  fetch('/api/session/'+SID+'?since='+seen).then(function(r){return r.json();})
+  .then(function(j){
+    if(j.trials.length){
+      var tb=document.getElementById('hist');
+      j.trials.forEach(function(tr){
+        var row=document.createElement('tr');
+        [new Date(tr[0]*1000).toLocaleTimeString(),
+         JSON.stringify(tr[1]), tr[2]==null?'inf':tr[2].toPrecision(6)]
+        .forEach(function(v){var td=document.createElement('td');
+                 td.textContent=v; row.appendChild(td);});
+        tb.appendChild(row);
+        data.push(tr[2]);
+      });
+      seen=j.total;
+      if(j.best && j.best.perf!=null)
+        document.getElementById('best').textContent=
+          'best: '+JSON.stringify(j.best.point)+' perf='+j.best.perf;
+      redraw();
+    }
+    if(!j.converged) setTimeout(tick, 1000);
+  }).catch(function(){ setTimeout(tick, 3000); });
+}
+setTimeout(tick, 1000);
+</script>"""
         return (f"<html><body><h2>{html.escape(s.name)}</h2>"
-                f"<p>best: {html.escape(repr(best_vals))} "
+                f"<p id='best'>best: {html.escape(repr(best_vals))} "
                 f"perf={html.escape(repr(best_perf))}</p>"
                 f"<svg width=600 height=200 style='border:1px solid #ccc'>"
-                f"<polyline fill='none' stroke='#36c' points='{pts}'/></svg>"
+                f"<polyline id='chart' fill='none' stroke='#36c' "
+                f"points='{pts}'/></svg>"
                 f"<table border=1><tr><th>time</th><th>point</th>"
-                f"<th>perf</th></tr>{rows}</table></body></html>")
+                f"<th>perf</th></tr><tbody id='hist'>{rows}</tbody></table>"
+                + script % (sid, len(hist)) + "</body></html>")
 
     # ---- lifecycle -------------------------------------------------------
     def serve_forever(self):

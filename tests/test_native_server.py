@@ -84,3 +84,34 @@ def test_two_sessions_isolated(native_server):
         c2.analyze(p2, 2.0)
         assert c1.best() == list(p1)
         assert c2.best() == list(p2)
+
+
+def test_native_live_session_api(native_server):
+    """Native /api/session/<id>?since=N incremental stream + live page."""
+    with ServiceClient("127.0.0.1", native_server) as c:
+        c.create_session([("x", list(range(10)))], strategy="random",
+                         name="live-native")
+        p1 = c.generate()
+        c.analyze(p1, 2.5)
+        base = f"http://127.0.0.1:{native_server}"
+        j = json.loads(urllib.request.urlopen(
+            base + "/api/session/1", timeout=5).read())
+        assert j["total"] == 1 and len(j["trials"]) == 1
+        assert j["trials"][0][2] == 2.5
+        j2 = json.loads(urllib.request.urlopen(
+            base + "/api/session/1?since=1", timeout=5).read())
+        assert j2["trials"] == []
+        p2 = c.generate()
+        c.analyze(p2, 0.25)
+        j3 = json.loads(urllib.request.urlopen(
+            base + "/api/session/1?since=1", timeout=5).read())
+        assert len(j3["trials"]) == 1 and j3["trials"][0][2] == 0.25
+        assert j3["best"]["perf"] == 0.25
+        page = urllib.request.urlopen(
+            base + "/session/1", timeout=5).read().decode()
+        assert "/api/session/" in page and "setTimeout(tick" in page
+        try:
+            urllib.request.urlopen(base + "/api/session/99", timeout=5)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404

@@ -81,3 +81,38 @@ def test_bad_request_fails_cleanly(server):
         fh.flush()
         reply = json.loads(fh.readline())
         assert reply["status"] == "FAIL"
+
+
+def test_live_session_api_incremental(server):
+    """/api/session/<id>?since=N streams only new trials — the live
+    monitor's polling endpoint (httpsvr.c:62-77 refresh-loop analogue)."""
+    with ServiceClient(server.host, server.port) as c:
+        c.create_session([("x", list(range(10)))], strategy="random",
+                         name="live")
+        p1 = c.generate()
+        c.analyze(p1, 1.5)
+        base = f"http://{server.host}:{server.port}"
+        j = json.loads(urllib.request.urlopen(
+            base + "/api/session/1", timeout=10).read())
+        assert j["total"] == 1 and len(j["trials"]) == 1
+        assert j["trials"][0][2] == 1.5
+        # incremental: since=1 returns nothing new yet
+        j2 = json.loads(urllib.request.urlopen(
+            base + "/api/session/1?since=1", timeout=10).read())
+        assert j2["trials"] == [] and j2["total"] == 1
+        p2 = c.generate()
+        c.analyze(p2, 0.5)
+        j3 = json.loads(urllib.request.urlopen(
+            base + "/api/session/1?since=1", timeout=10).read())
+        assert len(j3["trials"]) == 1 and j3["trials"][0][2] == 0.5
+        assert j3["best"]["perf"] == 0.5
+        # the page embeds the polling script
+        page = urllib.request.urlopen(
+            base + "/session/1", timeout=10).read().decode()
+        assert "/api/session/" in page and "setTimeout(tick" in page
+    # unknown session -> 404
+    try:
+        urllib.request.urlopen(base + "/api/session/99", timeout=10)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
