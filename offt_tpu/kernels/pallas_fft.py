@@ -217,13 +217,15 @@ def _pick_2stage(n: int, radices=None,
             cost = (dot_cost(a) + dot_cost(b), 1, a)
             if best is None or cost < best[0]:
                 best = (cost, (a, b))
-        for rv in (2, 4, 8):
+        for rv in _VPU_RADICES:
             if n % rv:
                 continue
             rm = n // rv
             if not (16 <= rm <= dft.MAX_RADIX):
                 continue
-            cost = (dot_cost(rm), 0, rv)
+            # light VPU-work penalty (scalar MACs grow with rv) so a
+            # bigger butterfly must buy a real MXU saving to win
+            cost = (dot_cost(rm) + 0.004 * rv, 0, rv)
             if best is None or cost < best[0]:
                 best = (cost, (rm, rv))
         if best is not None:
@@ -488,7 +490,7 @@ _SQRT_HALF = 0.7071067811865476
 
 def _is_vpu_split(radices) -> bool:
     """True when a 2-stage radix pair routes to the MXU+VPU core."""
-    return (len(radices) == 2 and radices[1] in (2, 4, 8)
+    return (len(radices) == 2 and radices[1] in _VPU_RADICES
             and 16 <= radices[0] <= dft.MAX_RADIX)
 
 
@@ -529,6 +531,41 @@ def _bfly4(ts, inverse):
     return [y0, y1, y2, y3]
 
 
+def _bfly3(ts, inverse):
+    # X1/X2 = t0 - s/2 -+ i*(sqrt3/2)*d with s = t1+t2, d = t1-t2
+    (r0, i0), (r1_, i1), (r2_, i2) = ts
+    sr, si = r1_ + r2_, i1 + i2
+    dr, di = r1_ - r2_, i1 - i2
+    c = 0.8660254037844386  # sqrt(3)/2
+    br, bi = r0 - 0.5 * sr, i0 - 0.5 * si
+    if inverse:
+        return [(r0 + sr, i0 + si),
+                (br - c * di, bi + c * dr),
+                (br + c * di, bi - c * dr)]
+    return [(r0 + sr, i0 + si),
+            (br + c * di, bi - c * dr),
+            (br - c * di, bi + c * dr)]
+
+
+def _cmul_const(tr, ti, c):
+    """(tr + i ti) * c for a Python complex constant, folding the
+    {1, -1, i, -i} special cases to pure adds/swaps."""
+    cr, ci = c.real, c.imag
+    if abs(ci) < 1e-15:
+        if abs(cr - 1.0) < 1e-15:
+            return tr, ti
+        if abs(cr + 1.0) < 1e-15:
+            return -tr, -ti
+        return cr * tr, cr * ti
+    if abs(cr) < 1e-15:
+        if abs(ci - 1.0) < 1e-15:
+            return -ti, tr
+        if abs(ci + 1.0) < 1e-15:
+            return ti, -tr
+        return -ci * ti, ci * tr
+    return cr * tr - ci * ti, cr * ti + ci * tr
+
+
 def _bfly8(ts, inverse):
     e = _bfly4(ts[0::2], inverse)
     o = _bfly4(ts[1::2], inverse)
@@ -547,7 +584,39 @@ def _bfly8(ts, inverse):
             + [(e[k][0] - tws[k][0], e[k][1] - tws[k][1]) for k in range(4)])
 
 
-_BFLY = {2: _bfly2, 4: _bfly4, 8: _bfly8}
+_BFLY = {2: _bfly2, 3: _bfly3, 4: _bfly4, 8: _bfly8}
+
+# composite VPU radices: {2,3}-smooth, bounded so the butterfly stays a
+# small add/const-mul network (per-element VPU MACs grow ~log rV)
+_VPU_RADICES = (2, 3, 4, 6, 8, 12, 16)
+
+
+def _dft_vpu(ts, inverse):
+    """DFT over a list of planar (re, im) array pairs — the VPU stage.
+
+    Hand-coded bases 2/3/4/8; composite lengths recurse Cooley-Tukey
+    (decimation in time over the smallest prime factor p):
+        X_k = sum_b W_n^{bk} * B_b[k mod q],   B_b = DFT_q(ts[b::p])
+    The W_n^{bk} are Python complex constants folded at trace time
+    ({1, -1, +-i} become adds/swaps — _cmul_const)."""
+    n = len(ts)
+    if n in _BFLY:
+        return _BFLY[n](ts, inverse)
+    p = 2 if n % 2 == 0 else 3
+    q = n // p
+    subs = [_dft_vpu(ts[b::p], inverse) for b in range(p)]
+    sign = 1.0 if inverse else -1.0
+    out = []
+    for k in range(n):
+        accr, acci = subs[0][k % q]
+        for b in range(1, p):
+            w = complex(np.cos(2 * np.pi * b * k / n),
+                        sign * np.sin(2 * np.pi * b * k / n))
+            tr, ti = _cmul_const(*subs[b][k % q], w)
+            accr = accr + tr
+            acci = acci + ti
+        out.append((accr, acci))
+    return out
 
 
 def _sublane_core_vpu(xr, xi, gs, r1, r2, inverse, precision):
@@ -570,7 +639,7 @@ def _sublane_core_vpu(xr, xi, gs, r1, r2, inverse, precision):
             a = jnp.dot(gs[j], xs, preferred_element_type=jnp.float32,
                         precision=prec)
         ts.append((a[:r1], a[r1:]))
-    ys = _BFLY[r2](ts, inverse)
+    ys = _dft_vpu(ts, inverse)
     yr = jnp.stack([y[0] for y in ys], axis=0).reshape(n, lanes)
     yi = jnp.stack([y[1] for y in ys], axis=0).reshape(n, lanes)
     return yr, yi

@@ -48,7 +48,9 @@ def test_vpu_split_gate():
     assert pf._is_vpu_split((128, 8))
     assert not pf._is_vpu_split((8, 32))      # rv too big
     assert not pf._is_vpu_split((4, 4))       # rm too small
-    assert not pf._is_vpu_split((64, 3))      # rv not a butterfly radix
+    assert pf._is_vpu_split((64, 3))          # composite/odd VPU radices
+    assert pf._is_vpu_split((64, 12)) and pf._is_vpu_split((64, 16))
+    assert not pf._is_vpu_split((64, 5))      # rv not {2,3}-smooth <= 16
     assert not pf._is_vpu_split((256, 2))     # rm beyond MAX_RADIX
 
 
@@ -89,7 +91,8 @@ def test_vpu_split_slab_and_x(rng):
 def test_stacked_picker_costs():
     """dot_cost model: full-width stage-A dots dominate sub-64 pairs."""
     assert pf._pick_2stage(256, stacked=True) == (64, 4)
-    assert pf._pick_2stage(1024, stacked=True) == (128, 8)
+    assert pf._pick_2stage(1024, stacked=True) == (64, 16)
+    assert pf._pick_2stage(768, stacked=True) == (64, 12)
     # non-pow2 still reachable: 320 = 40 * 8 (rm=40 fits one row tile)
     assert pf._pick_2stage(320, stacked=True) == (40, 8)
 
