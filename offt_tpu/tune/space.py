@@ -230,7 +230,7 @@ def build_space(
     spec: ProblemSpec,
     fixed_p1: Optional[int] = None,
     include_radix: bool = True,
-    max_tile: int = 16,
+    max_tile: int = 32,
     include_pallas: Optional[bool] = None,
     constraints: tuple[str, ...] = (),
 ) -> SearchSpace:
@@ -250,8 +250,10 @@ def build_space(
         m3 = max(1, nzf // max(1, p2_min))
         dims.append(Dimension("t1", tuple(pow2_grid(1, min(max_tile, m1)))))
         dims.append(Dimension("t2", tuple(pow2_grid(1, min(max_tile, m3)))))
-        dims.append(Dimension("w1", tuple(range(0, 5))))
-        dims.append(Dimension("w2", tuple(range(0, 5))))
+        # full reference W grid 0..10 (offt.h:78-79); w > t is pruned by
+        # the feasibility predicate, so the extra points are free
+        dims.append(Dimension("w1", tuple(range(0, 11))))
+        dims.append(Dimension("w2", tuple(range(0, 11))))
         dims.append(Dimension("ry", tuple(range(0, 11))))
         dims.append(Dimension("s1", (0, 1)))
         dims.append(Dimension("s2", (0, 1)))
