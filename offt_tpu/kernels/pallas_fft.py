@@ -843,6 +843,106 @@ def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
     return yr, yi
 
 
+# --------------------------------------------------------------------------
+# single-pass fused 3-D kernel for VMEM-resident cubes (<= ~128^3).
+# One HBM read + one write for ALL THREE axes (the slab + x path pays
+# two round trips). Per cube: x runs directly on sublanes; y and z each
+# pay one in-register transpose sandwich with full-width (n, n^2) cores.
+# The reference has no analogue (FFTW is strictly per-axis) — this is
+# the "re-designed tpu-first" headroom of the build brief, and the
+# natural per-chunk local transform for distributed plans.
+# --------------------------------------------------------------------------
+
+# VMEM budget: in+out planar pairs (double-buffered across the batch
+# grid) + ~4 full-cube temps + tables. Mosaic reported 100.06M actual at
+# 8x128^3 (a 12-plane estimate fell 960K short); 13 planes ~ 109 MiB
+# stays under the 120 MiB probed cap.
+_CUBE_VMEM_PLANES = 13
+_CUBE_MAX_ELEMS = 1 << 21      # 128^3
+
+
+def _cube_kernel(*refs, rx: tuple, ry: tuple, rz: tuple, ncx: int,
+                 ncy: int, precision: str, inverse: bool):
+    xr_ref, xi_ref = refs[0], refs[1]
+    cx = [r[:] for r in refs[2:2 + ncx]]
+    cy = [r[:] for r in refs[2 + ncx:2 + ncx + ncy]]
+    cz = [r[:] for r in refs[2 + ncx + ncy:-2]]
+    or_ref, oi_ref = refs[-2], refs[-1]
+    _, nx, ny, nz = xr_ref.shape
+    ar = xr_ref[0].reshape(nx, ny * nz)
+    ai = xi_ref[0].reshape(nx, ny * nz)
+    ar, ai = _core_apply(ar, ai, cx, rx, precision, inverse=inverse)
+    # y: minor-2D swap puts y last, then the transpose sandwich
+    a3r = jnp.swapaxes(ar.reshape(nx, ny, nz), 1, 2)    # (x, z, y)
+    a3i = jnp.swapaxes(ai.reshape(nx, ny, nz), 1, 2)
+    br = a3r.reshape(nx * nz, ny).T                     # (y, x*z)
+    bi = a3i.reshape(nx * nz, ny).T
+    br, bi = _core_apply(br, bi, cy, ry, precision, inverse=inverse)
+    b3r = jnp.swapaxes(br.T.reshape(nx, nz, ny), 1, 2)  # (x, y, z)
+    b3i = jnp.swapaxes(bi.T.reshape(nx, nz, ny), 1, 2)
+    # z: same sandwich as the slab kernel's z stage
+    cr = b3r.reshape(nx * ny, nz).T                     # (z, x*y)
+    ci = b3i.reshape(nx * ny, nz).T
+    cr, ci = _core_apply(cr, ci, cz, rz, precision, inverse=inverse)
+    or_ref[0] = cr.T.reshape(nx, ny, nz)
+    oi_ref[0] = ci.T.reshape(nx, ny, nz)
+
+
+def can_fuse_cube(nx: int, ny: int, nz: int,
+                  rad_x=None, rad_y=None, rad_z=None,
+                  precision: str = DEFAULT_PRECISION) -> bool:
+    stk = precision == "stack6"
+    return (nx * ny * nz <= _CUBE_MAX_ELEMS
+            and nz % 128 == 0 and ny % 8 == 0
+            and _pick_stages(nx, rad_x, stacked=stk) is not None
+            and _pick_stages(ny, rad_y, stacked=stk) is not None
+            and _pick_stages(nz, rad_z, stacked=stk) is not None)
+
+
+def fft3d_cube(xr: jax.Array, xi: jax.Array, inverse: bool = False,
+               rad_z=None, rad_y=None, rad_x=None,
+               precision: str = DEFAULT_PRECISION, out_scale: float = 1.0):
+    """Fused 3-D c2c over planar (..., X, Y, Z) in ONE HBM round trip.
+
+    Inverse folds 1/N (and ``out_scale``) into the z-stage tables."""
+    nx, ny, nz = xr.shape[-3:]
+    stk = precision == "stack6"
+    rx = _pick_stages(nx, rad_x, stacked=stk)
+    ry = _pick_stages(ny, rad_y, stacked=stk)
+    rz = _pick_stages(nz, rad_z, stacked=stk)
+    if not can_fuse_cube(nx, ny, nz, rad_x, rad_y, rad_z, precision):
+        raise ValueError(f"cube ({nx},{ny},{nz}) not fusable")
+    lead = xr.shape[:-3]
+    b = int(np.prod(lead)) if lead else 1
+    xr4 = xr.reshape(b, nx, ny, nz)
+    xi4 = xi.reshape(b, nx, ny, nz)
+    scale = out_scale * ((1.0 / (nx * ny * nz)) if inverse else 1.0)
+    cx = _core_tables(nx, rx, inverse, stacked=stk)
+    cy = _core_tables(ny, ry, inverse, stacked=stk)
+    cz = _core_tables(nz, rz, inverse, scale, stacked=stk)
+    consts = [jnp.asarray(v) for v in (*cx, *cy, *cz)]
+    kernel = functools.partial(_cube_kernel, rx=rx, ry=ry, rz=rz,
+                               ncx=len(cx), ncy=len(cy),
+                               precision=precision, inverse=inverse)
+    blk = pl.BlockSpec((1, nx, ny, nz), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    const_spec = [pl.BlockSpec(c.shape, lambda i, c=c: (0,) * c.ndim,
+                               memory_space=pltpu.VMEM) for c in consts]
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[blk, blk] + const_spec,
+        out_specs=(blk, blk),
+        out_shape=(jax.ShapeDtypeStruct((b, nx, ny, nz), jnp.float32),
+                   jax.ShapeDtypeStruct((b, nx, ny, nz), jnp.float32)),
+        interpret=_interpret(),
+        **_vmem_params(_CUBE_VMEM_PLANES * nx * ny * nz * 4
+                       + sum(c.nbytes for c in consts)),
+    )(xr4, xi4, *consts)
+    shp = lead + (nx, ny, nz)
+    return yr.reshape(shp), yi.reshape(shp)
+
+
 def fft3d_planar(xr, xi, inverse: bool = False,
                  rad_z=None, rad_y=None, rad_x=None,
                  precision: str = DEFAULT_PRECISION, block: int = 0,

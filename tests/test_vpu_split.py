@@ -122,3 +122,21 @@ def test_vpu_split_dual_untangle(rng, monkeypatch):
     out = pf.irfft_slab_yz(yr, yi, 64, precision="stack6",
                            scale=1.0 / (64 * m))
     assert _relerr(np.asarray(out), x) < BAR
+
+
+def test_fft3d_cube_roundtrip(rng):
+    """Single-pass fused cube kernel (one HBM round trip for all three
+    axes). Measured on v5e: LOSES to slab+padded-x at 8x128^3 (1.75 vs
+    1.05 ms — in-register transposes + cube-granular pipelining outweigh
+    the saved HBM trip, receipt in BENCH_LOCAL.jsonl) — kept as a tested
+    capability, not the default path."""
+    x = (rng.standard_normal((2, 32, 32, 128))
+         + 1j * rng.standard_normal((2, 32, 32, 128))).astype(np.complex64)
+    yr, yi = pf.fft3d_cube(jnp.asarray(x.real), jnp.asarray(x.imag),
+                           precision="stack6")
+    want = np.fft.fftn(x, axes=(-3, -2, -1))
+    assert _relerr(np.asarray(yr) + 1j * np.asarray(yi), want) < BAR
+    br, bi = pf.fft3d_cube(yr, yi, inverse=True, precision="stack6")
+    assert _relerr(np.asarray(br) + 1j * np.asarray(bi), x) < BAR
+    assert pf.can_fuse_cube(128, 128, 128)
+    assert not pf.can_fuse_cube(256, 256, 256)   # past the VMEM budget
