@@ -122,7 +122,29 @@ def test_bundled_tuned_defaults(tmp_path, monkeypatch):
     key = "320x320x320|complex64|c2c|1x1|TPU v5 lite|b1"
     got = cache.lookup(key)
     assert got is not None
-    assert got.radix_z == (16, 20) and got.radix_y == (20, 16)
+    assert got.radix_z == (40, 8) and got.use_pallas == 1
     override = got.replace(radix_z=(20, 16))
     cache.store(key, override, perf=1e-9)
     assert cache.lookup(key).radix_z == (20, 16)
+
+
+def test_bundled_entries_all_load_and_feasible():
+    """Every shipped tuned default parses into PlanParams and passes the
+    structural feasibility predicate for its keyed problem (>= 6 curated
+    hardware-verified entries, VERDICT r2 #6)."""
+    import json
+    import pathlib
+
+    from offt_tpu.plan import cache
+    from offt_tpu.plan.params import ProblemSpec, infeasible_reason
+
+    f = pathlib.Path(cache.__file__).parent / "tuned_defaults.json"
+    db = json.loads(f.read_text())
+    assert len(db) >= 6
+    for key, rec in db.items():
+        params = cache._params_from_json(rec["params"])
+        shape = tuple(int(v) for v in key.split("|")[0].split("x"))
+        spec = ProblemSpec(shape=shape, real="r2c" in key,
+                           inverse=key.endswith("|inv"))
+        assert infeasible_reason(spec, params) is None, key
+        assert rec.get("perf") and rec["perf"] > 0, key
