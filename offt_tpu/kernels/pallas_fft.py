@@ -833,6 +833,11 @@ def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
     axis = axis % xr.ndim
     n = xr.shape[axis]
     knob = out_scale * ((1.0 / n) if (inverse and scale) else 1.0)
+    if n == 1:
+        # degenerate axis (2-D transforms ride the 3-D pipeline with
+        # nx = 1): identity times the folded scale, zero kernel passes
+        return (xr if knob == 1.0 else xr * jnp.float32(knob),
+                xi if knob == 1.0 else xi * jnp.float32(knob))
     if axis == xr.ndim - 1:
         yr, yi = fft_last(xr, xi, inverse=inverse, radices=radices,
                           precision=precision, block_rows=block, scale=knob)
@@ -964,8 +969,16 @@ def fft3d_planar(xr, xi, inverse: bool = False,
         # expressible and the x row stride is a bank-conflicting power of
         # two (leading batch dims ride along — both kernels take 4-D)
         nx_ = xr.shape[ax]
+        if nx_ == 1 and fuse:
+            # 2-D case: the slab IS the whole transform (out_scale rides
+            # its y tables); a degenerate x pass would cost a full HBM
+            # round trip of tiny blocks (measured 21.3 vs 4.5 ms at
+            # 64x1024^2 before this gate)
+            return fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z,
+                               precision=precision, scale=out_scale,
+                               block_rows=slab_rows)
         row_stride = ny * nz * 4
-        use_padded_x = (fuse
+        use_padded_x = (nx_ > 1 and fuse
                         and can_use_padded_x(nx_, ny, nz, rad_x)
                         and row_stride >= (1 << 16)
                         and (row_stride & (row_stride - 1)) == 0)
@@ -987,8 +1000,13 @@ def fft3d_planar(xr, xi, inverse: bool = False,
                                out_scale=out_scale, **kw)
         return xr, xi
     nx_ = xr.shape[ax]
+    if nx_ == 1 and fuse:
+        return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y, rad_z=rad_z,
+                           precision=precision,
+                           scale=out_scale / (ny * nz),
+                           block_rows=slab_rows)
     row_stride = ny * nz * 4
-    use_padded_x = (fuse
+    use_padded_x = (nx_ > 1 and fuse
                     and can_use_padded_x(nx_, ny, nz, rad_x)
                     and row_stride >= (1 << 16)
                     and (row_stride & (row_stride - 1)) == 0)
