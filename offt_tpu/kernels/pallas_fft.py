@@ -969,14 +969,17 @@ def fft3d_planar(xr, xi, inverse: bool = False,
         # expressible and the x row stride is a bank-conflicting power of
         # two (leading batch dims ride along — both kernels take 4-D)
         nx_ = xr.shape[ax]
-        if nx_ == 1 and fuse:
-            # 2-D case: the slab IS the whole transform (out_scale rides
-            # its y tables); a degenerate x pass would cost a full HBM
-            # round trip of tiny blocks (measured 21.3 vs 4.5 ms at
-            # 64x1024^2 before this gate)
-            return fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z,
-                               precision=precision, scale=out_scale,
-                               block_rows=slab_rows)
+        if nx_ == 1:
+            # 2-D case: z + y axis kernels, no x pass (the old routing
+            # pushed the length-1 axis through the padded-x kernel as
+            # 65k tiny blocks - 21.3 ms at 64x1024^2). The last+sublane
+            # pair beats the fused slab at every 2-D size measured
+            # (1024x256^2 3.70 vs 4.09, 256x512^2 3.40 vs 3.73,
+            # 64x1024^2 3.32 vs 4.52 ms) - the slab's per-row y loop
+            # only pays off fused against a real x stage.
+            xr, xi = fft_1d_planar(xr, xi, az, radices=rad_z, **kw)
+            return fft_1d_planar(xr, xi, ay, radices=rad_y,
+                                 out_scale=out_scale, **kw)
         row_stride = ny * nz * 4
         use_padded_x = (nx_ > 1 and fuse
                         and can_use_padded_x(nx_, ny, nz, rad_x)
@@ -1000,11 +1003,10 @@ def fft3d_planar(xr, xi, inverse: bool = False,
                                out_scale=out_scale, **kw)
         return xr, xi
     nx_ = xr.shape[ax]
-    if nx_ == 1 and fuse:
-        return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y, rad_z=rad_z,
-                           precision=precision,
-                           scale=out_scale / (ny * nz),
-                           block_rows=slab_rows)
+    if nx_ == 1:
+        xr, xi = fft_1d_planar(xr, xi, ay, inverse=True, radices=rad_y, **kw)
+        return fft_1d_planar(xr, xi, az, inverse=True, radices=rad_z,
+                             out_scale=out_scale, **kw)
     row_stride = ny * nz * 4
     use_padded_x = (nx_ > 1 and fuse
                     and can_use_padded_x(nx_, ny, nz, rad_x)
