@@ -966,8 +966,11 @@ def fft3d_planar(xr, xi, inverse: bool = False,
     fuse = can_fuse_slab(ny, nz, rad_y, rad_z)
     if not inverse:
         # stride-padded x path: only when the slab fuses, x is 2-stage
-        # expressible and the x row stride is a bank-conflicting power of
-        # two (leading batch dims ride along — both kernels take 4-D)
+        # expressible and the x row stride is bank-conflicting — any
+        # stride DIVISIBLE by a large power of two serializes HBM
+        # channels, not just exact powers (768^2*4 = 2^18 * 9 measured
+        # 2x: 61.1 -> 31.5 ms full 768^3 once routed here). Leading
+        # batch dims ride along — both kernels take 4-D.
         nx_ = xr.shape[ax]
         if nx_ == 1:
             # 2-D case: z + y axis kernels, no x pass (the old routing
@@ -983,8 +986,7 @@ def fft3d_planar(xr, xi, inverse: bool = False,
         row_stride = ny * nz * 4
         use_padded_x = (nx_ > 1 and fuse
                         and can_use_padded_x(nx_, ny, nz, rad_x)
-                        and row_stride >= (1 << 16)
-                        and (row_stride & (row_stride - 1)) == 0)
+                        and row_stride % (1 << 16) == 0)
         if use_padded_x:
             xr, xi = fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z,
                                  precision=precision, zpad=_STRIDE_PAD,
@@ -1010,8 +1012,7 @@ def fft3d_planar(xr, xi, inverse: bool = False,
     row_stride = ny * nz * 4
     use_padded_x = (nx_ > 1 and fuse
                     and can_use_padded_x(nx_, ny, nz, rad_x)
-                    and row_stride >= (1 << 16)
-                    and (row_stride & (row_stride - 1)) == 0)
+                    and row_stride % (1 << 16) == 0)
     if use_padded_x:
         # the three axis transforms commute, so the inverse reuses the
         # FORWARD order (slab -> padded intermediate -> pitched x) with
@@ -1127,7 +1128,13 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     # multiple x-rows per block (bigger DMAs; block_rows = tunable override).
     # Measured on v5e: tb=4 at 256^2 (2.25 -> 2.07 ms full 256^3),
     # tb=2 at 512^2 (17.8 -> 17.4 ms full 512^3), tb=8 at <=128^2 slabs.
+    # The heuristic halves tb until HALF the scoped-vmem cap is free:
+    # blocks that barely fit leave Mosaic no pipelining headroom (768^2
+    # tb=2 fit the cap at 113 MiB but measured 33.8 ms vs 30.8 at tb=1).
     tb = block_rows or max(2, min(8, (1 << 18) // max(ny * nz, 1)))
+    if not block_rows:
+        while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * nz * 4 > _VMEM_CAP // 2:
+            tb //= 2
     while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * nz * 4 > _VMEM_CAP:
         tb //= 2
     tb = min(tb, p)
