@@ -1650,7 +1650,13 @@ def rfft_slab_yz(x: jax.Array, rad_y=None, rad_z=None,
     consts = [jnp.asarray(v) for v in (*cm, *untangle, *cy)]
     kernel = functools.partial(_rfft_slab_kernel, rm=rm, ry=ry, ncm=len(cm),
                                precision=precision, dual=dual)
+    # vmem-headroom rule as in fft_slab_yz: blocks that barely fit the
+    # cap starve Mosaic's pipeline (1024^3 r2c tb=2 at 100 MiB measured
+    # 54.3 ms vs 47.2 at tb=1)
     tb = block_rows or max(2, min(8, (1 << 18) // max(ny * m, 1)))
+    if not block_rows:
+        while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * m * 4 > _VMEM_CAP // 2:
+            tb //= 2
     while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * m * 4 > _VMEM_CAP:
         tb //= 2
     tb = min(tb, p)
@@ -1891,6 +1897,9 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
                                precision=precision, has_side=has_side,
                                dual=dual, scale=float(scale))
     tb = block_rows or max(2, min(8, (1 << 18) // max(ny * m, 1)))
+    if not block_rows:  # vmem-headroom rule (see rfft_slab_yz)
+        while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * n * 4 > _VMEM_CAP // 2:
+            tb //= 2
     while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * n * 4 > _VMEM_CAP:
         tb //= 2
     tb = min(tb, p)
