@@ -279,13 +279,13 @@ def build_space(
         # stride-padded x-kernel tile; None = (8,128) measured-best.
         # Only searched when the padded-x path is actually reachable:
         # r2c/c2r always routes x through it (on M = nz/2 lanes); c2c
-        # needs the pow2 >= 64 KiB row stride that triggers the
-        # stride-broken path (kernels/pallas_fft.py use_padded_x gate).
+        # needs a row stride DIVISIBLE by 64 KiB — the widened gate
+        # (768^2*4 = 2^18*9 serializes HBM channels like an exact pow2;
+        # kernels/pallas_fft.py fft3d_planar stride % (1 << 16) == 0).
         ny_, nz_ = spec.shape[1], spec.shape[2]
         lanes = nz_ // 2 if spec.real else nz_
         stride = ny_ * nz_ * 4
-        reachable = spec.real or (stride >= (1 << 16)
-                                  and (stride & (stride - 1)) == 0)
+        reachable = spec.real or stride % (1 << 16) == 0
         xt = [None] + [(ty, tz) for ty, tz in ((16, 128), (8, 256))
                        if reachable and ny_ % ty == 0 and lanes % tz == 0]
         if len(xt) > 1:

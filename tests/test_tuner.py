@@ -106,6 +106,17 @@ def test_fft_space_feasibility_filter():
     assert space.infeasible_reason(tuple(pt)) is not None
 
 
+def test_x_tile_searchable_at_widened_stride():
+    """The padded-x gate fires for any row stride divisible by 64 KiB
+    (768^2*4 = 2^18*9 conflicts like an exact pow2 — the round-3 768^3
+    fix); the search space's x_tile reachability must match the kernel
+    gate or the tuner silently never explores the knob there."""
+    for n, want in ((768, True), (256, True), (320, False)):
+        spec = ProblemSpec(shape=(n, n, n), p=1)
+        space = build_space(spec, include_pallas=True)
+        assert ("x_tile" in space.names) == want, n
+
+
 def test_tune_end_to_end_tiny_fft(tmp_path, monkeypatch):
     """Full tune() over real (tiny) distributed FFT plans on the virtual
     CPU mesh, with a deterministic fake timer."""
