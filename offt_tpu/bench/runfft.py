@@ -223,6 +223,19 @@ def _verify(p, shape, ns):
             got = unpack_rfft3d(*got)
         got = np.asarray(got[0]) + 1j * np.asarray(got[1])
         want = np.fft.rfftn(x, axes=(-3, -2, -1))
+    elif ns.r2c:        # c2r: plan takes a Hermitian half-spectrum,
+        # returns a real cube — roundtrip from a real cube so the
+        # spectrum is valid (a random full-shape array is NOT, which is
+        # what this branch fed the plan before: rel_err 1.2 artifacts)
+        x = rng.standard_normal(shape).astype(np.float32)
+        spec = np.fft.rfftn(x, axes=(-3, -2, -1)).astype(np.complex64)
+        sr = np.ascontiguousarray(spec.real)
+        si = np.ascontiguousarray(spec.imag)
+        if ns.packed:
+            from offt_tpu.kernels.pallas_fft import pack_rfft3d
+            sr, si = (np.asarray(v) for v in pack_rfft3d(sr, si))
+        got = np.asarray(p((sr, si)))
+        want = np.fft.irfftn(spec, s=shape[-3:], axes=(-3, -2, -1))
     else:
         x = (rng.standard_normal(shape)
              + 1j * rng.standard_normal(shape)).astype(np.complex64)

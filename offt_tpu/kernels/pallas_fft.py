@@ -1896,11 +1896,16 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
                                ncy=len(cy), ncm=len(cm),
                                precision=precision, has_side=has_side,
                                dual=dual, scale=float(scale))
+    # working-set estimate on ny*m, MATCHING rfft_slab_yz: both slabs move
+    # the same bytes per block (in + out = 2n lanes' worth either way), so
+    # an n-based estimate here forced tb=1 where the mirror rfft ran tb=2
+    # (512^3 measured: tb=1 5.36 ms vs tb=2 5.01 — the estimate asymmetry
+    # was a real 6% loss; 1024^3 still lands tb=1 under the same rule)
     tb = block_rows or max(2, min(8, (1 << 18) // max(ny * m, 1)))
     if not block_rows:  # vmem-headroom rule (see rfft_slab_yz)
-        while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * n * 4 > _VMEM_CAP // 2:
+        while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * m * 4 > _VMEM_CAP // 2:
             tb //= 2
-    while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * n * 4 > _VMEM_CAP:
+    while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * m * 4 > _VMEM_CAP:
         tb //= 2
     tb = min(tb, p)
     while p % tb != 0:
@@ -1925,7 +1930,7 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
         out_specs=out_blk,
         out_shape=jax.ShapeDtypeStruct((p, ny, n), jnp.float32),
         interpret=_interpret(),
-        **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * n * 4),
+        **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * m * 4),
     )(*args, *consts)
     return out.reshape(lead + (ny, n))
 
