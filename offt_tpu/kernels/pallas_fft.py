@@ -1473,6 +1473,9 @@ def _crfft_dual_tables(n: int) -> tuple:
     re-tangle: v = idft(alpha' . X') + conj(idft(gamma . X')) + V0,
     gamma[k] = conj(beta'[(M-k) % M]) — the reversal rides the CONSTANT
     (free, host-side), never the data (Mosaic has no reversal op).
+    Row 0 is ZEROED: the packed plane 0 (A = X0.re, B = XM.re) feeds only
+    the kernels' broadcast V0 term, so the diagonals must not see it —
+    folding the mask here deletes two (M, L) concats per kernel.
     Returns (ar, ai, gr, gi) as (M, 1) float32 columns, unscaled."""
     m = n // 2
     k = np.arange(m)
@@ -1480,6 +1483,8 @@ def _crfft_dual_tables(n: int) -> tuple:
     alpha = 0.5 * (1.0 - np.sin(th)) + 0.5j * np.cos(th)
     beta = 0.5 * (1.0 + np.sin(th)) - 0.5j * np.cos(th)
     gamma = np.conj(beta[(m - k) % m])
+    alpha[0] = 0.0
+    gamma[0] = 0.0
     return (alpha.real.reshape(m, 1).astype(np.float32),
             alpha.imag.reshape(m, 1).astype(np.float32),
             gamma.real.reshape(m, 1).astype(np.float32),
@@ -1830,13 +1835,11 @@ def _crfft_slab_kernel(*refs, rm: tuple, ry: tuple, ncy: int, ncm: int,
     zi = jnp.stack(rows_i, axis=0).reshape(tb * ny, m).T
     if dual:
         a0r, a0i = zr[:1], zi[:1]             # packed A = X0.re, B = XM.re
-        zero = jnp.zeros_like(a0r)
-        zr0 = jnp.concatenate([zero, zr[1:]], axis=0)
-        zi0 = jnp.concatenate([zero, zi[1:]], axis=0)
-        pr = ar_[:] * zr0 - ai_[:] * zi0      # alpha' . X'
-        pi_ = ar_[:] * zi0 + ai_[:] * zr0
-        qr = gr_[:] * zr0 - gi_[:] * zi0      # gamma . X'
-        qi = gr_[:] * zi0 + gi_[:] * zr0
+        # row 0 masking rides the tables (_crfft_dual_tables zeroes it)
+        pr = ar_[:] * zr - ai_[:] * zi        # alpha' . X'
+        pi_ = ar_[:] * zi + ai_[:] * zr
+        qr = gr_[:] * zr - gi_[:] * zi        # gamma . X'
+        qi = gr_[:] * zi + gi_[:] * zr
         v1r, v1i = _core_apply(pr, pi_, cm, rm, precision, inverse=True)
         v2r, v2i = _core_apply(qr, qi, cm, rm, precision, inverse=True)
         s = jnp.float32(0.5 * scale)
@@ -1989,15 +1992,13 @@ def _icrfft_last_kernel(*refs, rm: tuple, ncm: int, precision: str,
     zr = xr_ref[:].T                                   # (M, TB)
     zi = xi_ref[:].T
     if dual:
-        # same dual-transform re-tangle as _crfft_slab_kernel
+        # same dual-transform re-tangle as _crfft_slab_kernel (row-0
+        # masking rides the zeroed table rows)
         a0r, a0i = zr[:1], zi[:1]
-        zero = jnp.zeros_like(a0r)
-        zr0 = jnp.concatenate([zero, zr[1:]], axis=0)
-        zi0 = jnp.concatenate([zero, zi[1:]], axis=0)
-        pr = ar_[:] * zr0 - ai_[:] * zi0
-        pi_ = ar_[:] * zi0 + ai_[:] * zr0
-        qr = gr_[:] * zr0 - gi_[:] * zi0
-        qi = gr_[:] * zi0 + gi_[:] * zr0
+        pr = ar_[:] * zr - ai_[:] * zi
+        pi_ = ar_[:] * zi + ai_[:] * zr
+        qr = gr_[:] * zr - gi_[:] * zi
+        qi = gr_[:] * zi + gi_[:] * zr
         v1r, v1i = _core_apply(pr, pi_, cm, rm, precision, inverse=True)
         v2r, v2i = _core_apply(qr, qi, cm, rm, precision, inverse=True)
         s = jnp.float32(0.5 * scale)
