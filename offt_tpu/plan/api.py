@@ -142,7 +142,12 @@ def _local_fft3d(x, inverse: bool, real: bool, nz: int, params: PlanParams):
 
 @dataclasses.dataclass
 class Plan:
-    """A compiled 3-D FFT plan (forward or inverse, c2c or r2c)."""
+    """A compiled 3-D FFT plan (forward or inverse, c2c or r2c).
+
+    Plans are differentiable: ``jax.grad``/``jax.vjp`` through
+    ``plan(...)(x)`` applies the adjoint plan (FFTs are linear — see
+    plan/autodiff.py). ``_fn`` is the raw jitted executable (has
+    ``.lower``); ``_dfn`` wraps it with the custom_vjp rule."""
 
     spec: ProblemSpec
     params: PlanParams
@@ -151,13 +156,15 @@ class Plan:
     _fn: callable = dataclasses.field(repr=False)
     planar: bool = False
     _in_planar: bool = False
+    _dfn: Optional[callable] = dataclasses.field(repr=False, default=None)
 
     def __call__(self, x, x_imag=None):
+        fn = self._dfn or self._fn
         if self._in_planar:
             if x_imag is None:
                 x, x_imag = x  # accept a (re, im) pair as one argument
-            return self._fn(x, x_imag)
-        return self._fn(x)
+            return fn(x, x_imag)
+        return fn(x)
 
     execute = __call__
 
@@ -536,8 +543,15 @@ def plan(
                              f"2-stage expressible (got Nz={shape[2]})")
     fn, in_planar = _build_fn(spec, params, mesh, ndim, planar=planar,
                               out_scale=scale, packed=packed, donate=donate)
+    from .autodiff import wrap_plan_fn
+    dfn = wrap_plan_fn(fn, shape=tuple(shape), dtype=spec.dtype, mesh=mesh,
+                       real=real, inverse=inverse, norm=norm,
+                       batch_dims=batch_dims, planar_in=in_planar,
+                       planar_out=planar and not (real and inverse),
+                       packed=packed, batch_sharded=batch_sharded,
+                       params=params)
     return Plan(spec=spec, params=params, mesh=mesh, ndim=ndim, _fn=fn,
-                planar=planar, _in_planar=in_planar)
+                planar=planar, _in_planar=in_planar, _dfn=dfn)
 
 
 # ---- one-shot conveniences (plans are cached per call-signature by jit) ----

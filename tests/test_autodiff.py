@@ -1,0 +1,236 @@
+"""Autodiff through plans (plan/autodiff.py).
+
+Two kinds of evidence:
+
+1. Convention tests vs jax's own jnp.fft rules (CPU): jax.grad of a
+   real loss through a plan must equal the same grad through jnp.fft.
+2. The implementation-true transpose identity for LINEAR maps:
+   <ct, f(v)> == <vjp(ct), v> under the real pairing, for random v/ct —
+   this holds for every correct vjp regardless of layout conventions
+   (packed, planar, distributed), with no external reference needed.
+
+The reference has no autodiff analogue (MPI/C); this is TPU-first API
+surface (jax.grad for spectral losses / neural operators).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import offt_tpu
+from offt_tpu.dist import make_mesh
+
+
+def _rand(shape, seed, dtype=np.float64):
+    return np.random.default_rng(seed).standard_normal(shape).astype(dtype)
+
+
+def _randc(shape, seed, dtype=np.complex128):
+    r = np.random.default_rng(seed)
+    return (r.standard_normal(shape)
+            + 1j * r.standard_normal(shape)).astype(dtype)
+
+
+def _dot_tree(a, b):
+    """Real inner product over a pytree of real arrays."""
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    return sum(jnp.vdot(x, y).real for x, y in zip(la, lb))
+
+
+# ---------------------------------------------------------------------------
+# 1. convention tests against jnp.fft (complex calling convention, CPU)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_grad_c2c_matches_jnp(norm, inverse):
+    x = jnp.asarray(_randc((8, 8, 8), 0))
+    p = offt_tpu.plan((8, 8, 8), x.dtype, inverse=inverse, norm=norm)
+    w = jnp.asarray(_randc((8, 8, 8), 1))
+    ref_fn = jnp.fft.ifftn if inverse else jnp.fft.fftn
+
+    def loss_plan(z):
+        return jnp.sum(jnp.abs(p(z) * w) ** 2)
+
+    def loss_ref(z):
+        return jnp.sum(jnp.abs(ref_fn(z, norm=norm) * w) ** 2)
+
+    g1 = jax.grad(loss_plan)(x)
+    g2 = jax.grad(loss_ref)(x)
+    assert np.allclose(np.asarray(g1), np.asarray(g2), rtol=1e-10,
+                       atol=1e-10)
+
+
+@pytest.mark.parametrize("norm", ["backward", "ortho"])
+def test_grad_rfftn_matches_jnp(norm):
+    x = jnp.asarray(_rand((8, 8, 8), 2))
+    p = offt_tpu.plan((8, 8, 8), "complex128", real=True, norm=norm)
+    w = jnp.asarray(_randc((8, 8, 5), 3))
+
+    g1 = jax.grad(lambda z: jnp.sum(jnp.abs(p(z) * w) ** 2))(x)
+    g2 = jax.grad(lambda z: jnp.sum(
+        jnp.abs(jnp.fft.rfftn(z, norm=norm) * w) ** 2))(x)
+    assert np.allclose(np.asarray(g1), np.asarray(g2), rtol=1e-10,
+                       atol=1e-10)
+
+
+def test_grad_irfftn_hermitian_consistent():
+    """Composite grad x -> irfftn(rfftn(x) * filt): a HERMITIAN-
+    SYMMETRIC filter (|rfftn(real)|^2) keeps the spectrum on the
+    manifold where every irfftn implementation (and transpose) agrees
+    with numpy — an arbitrary real filter would break the 2-D Hermitian
+    symmetry of the z=0/M planes and the implementations legitimately
+    diverge off-manifold."""
+    x = jnp.asarray(_rand((8, 8, 8), 4))
+    pf_ = offt_tpu.plan((8, 8, 8), "complex128", real=True)
+    pb = offt_tpu.plan((8, 8, 8), "complex128", real=True, inverse=True)
+    filt = jnp.abs(jnp.fft.rfftn(jnp.asarray(_rand((8, 8, 8), 5)))) ** 2
+    w = jnp.asarray(_rand((8, 8, 8), 6))
+
+    g1 = jax.grad(lambda z: jnp.sum(pb(pf_(z) * filt) * w))(x)
+    g2 = jax.grad(lambda z: jnp.sum(
+        jnp.fft.irfftn(jnp.fft.rfftn(z) * filt) * w))(x)
+    assert np.allclose(np.asarray(g1), np.asarray(g2), rtol=1e-10,
+                       atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# 2. transpose identity <ct, f(v)> == <vjp(ct), v> (implementation-true)
+# ---------------------------------------------------------------------------
+
+def _conj_leaves(t):
+    return jax.tree_util.tree_map(
+        lambda c: jnp.conj(c) if jnp.iscomplexobj(c) else c, t)
+
+
+def _check_transpose(f, args, seed=7, tol=1e-6):
+    """<ct, f(v)>_R == <vjp(ct), v>_R under the real pairing. JAX's
+    complex-cotangent convention is conj∘T∘conj, so complex leaves are
+    conjugated on both sides (a no-op for planar/real paths)."""
+    y, vjp = jax.vjp(f, *args)
+
+    def mk(a):
+        a = np.asarray(a)
+        if np.iscomplexobj(a):
+            return jnp.asarray(_randc(a.shape, seed, a.dtype))
+        return jnp.asarray(_rand(a.shape, seed, a.dtype))
+
+    ct = jax.tree_util.tree_map(mk, y)
+    g = vjp(ct)
+    lhs = _dot_tree(_conj_leaves(ct), y)
+    rhs = _dot_tree(_conj_leaves(g), args)
+    assert np.isclose(float(lhs), float(rhs), rtol=tol), (lhs, rhs)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+@pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
+def test_transpose_c2c_planar(inverse, norm):
+    p = offt_tpu.plan((16, 8, 8), "complex64", inverse=inverse, norm=norm,
+                      planar=True)
+    re = jnp.asarray(_rand((16, 8, 8), 8, np.float32))
+    im = jnp.asarray(_rand((16, 8, 8), 9, np.float32))
+    _check_transpose(lambda r, i: p((r, i)), (re, im))
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_transpose_rfft_planar(packed):
+    shape = (16, 16, 256) if packed else (16, 8, 8)
+    p = offt_tpu.plan(shape, "complex64", real=True, planar=True,
+                      packed=packed)
+    x = jnp.asarray(_rand(shape, 10, np.float32))
+    # f32 pipelines on both sides of the identity: ~1e-5 relative
+    _check_transpose(lambda z: p(z), (x,), tol=1e-4)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_transpose_irfft_planar(packed):
+    shape = (16, 16, 256) if packed else (16, 8, 8)
+    nf = shape[2] // 2 if packed else shape[2] // 2 + 1
+    p = offt_tpu.plan(shape, "complex64", real=True, inverse=True,
+                      planar=True, packed=packed)
+    fr = jnp.asarray(_rand(shape[:2] + (nf,), 11, np.float32))
+    fi = jnp.asarray(_rand(shape[:2] + (nf,), 12, np.float32))
+    _check_transpose(lambda r, i: p((r, i)), (fr, fi), tol=1e-4)
+
+
+def test_transpose_irfft_odd_n():
+    p = offt_tpu.plan((8, 8, 7), "complex128", real=True, inverse=True)
+    f = jnp.asarray(_randc((8, 8, 4), 13))
+
+    def fn(re, im):
+        return p(jax.lax.complex(re, im))
+
+    # the generic odd-N pipeline ignores Im at the self-paired bin 0;
+    # check the transpose identity over the REAL planar coordinates
+    re = jnp.real(f)
+    im = jnp.imag(f)
+    _check_transpose(fn, (re, im), tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# distributed plans (8 virtual CPU devices)
+# ---------------------------------------------------------------------------
+
+def test_grad_distributed_c2c_matches_local():
+    mesh = make_mesh(2, 4)
+    x = jnp.asarray(_randc((16, 16, 16), 14))
+    w = jnp.asarray(_randc((16, 16, 16), 15))
+    pd = offt_tpu.plan((16, 16, 16), x.dtype, mesh=mesh)
+    pl_ = offt_tpu.plan((16, 16, 16), x.dtype)
+
+    def loss(p):
+        return lambda z: jnp.sum(jnp.abs(p(z) * w) ** 2)
+
+    g1 = jax.grad(loss(pd))(x)
+    g2 = jax.grad(loss(pl_))(x)
+    assert np.allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9,
+                       atol=1e-9)
+
+
+def test_transpose_distributed_rfft():
+    mesh = make_mesh(2, 4)
+    p = offt_tpu.plan((16, 16, 16), "complex128", real=True, mesh=mesh)
+    x = jnp.asarray(_rand((16, 16, 16), 16))
+    _check_transpose(lambda z: p(z), (x,), tol=1e-9)
+
+
+def test_grad_distributed_irfft_native():
+    """Distributed fp64 c2r plans are pure-jnp pipelines — native
+    autodiff (no wrapper) must match the local grad."""
+    mesh = make_mesh(2, 4)
+    f = jnp.asarray(_randc((16, 16, 9), 19))
+    w = jnp.asarray(_rand((16, 16, 16), 20))
+    pd = offt_tpu.plan((16, 16, 16), "complex128", real=True, inverse=True,
+                       mesh=mesh)
+    pl_ = offt_tpu.plan((16, 16, 16), "complex128", real=True, inverse=True)
+
+    g1 = jax.grad(lambda z: jnp.sum(pd(z) * w).real,
+                  holomorphic=False)(f)
+    g2 = jax.grad(lambda z: jnp.sum(pl_(z) * w).real,
+                  holomorphic=False)(f)
+    assert np.allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9,
+                       atol=1e-9)
+
+
+def test_grad_under_jit_composes():
+    p = offt_tpu.plan((8, 8, 8), "complex64", planar=True)
+
+    @jax.jit
+    def g(re, im):
+        return jax.grad(
+            lambda r, i: jnp.sum(p((r, i))[0] ** 2), argnums=(0, 1))(re, im)
+
+    re = jnp.asarray(_rand((8, 8, 8), 17, np.float32))
+    im = jnp.asarray(_rand((8, 8, 8), 18, np.float32))
+    gr, gi = g(re, im)
+    assert gr.shape == (8, 8, 8)
+    # cross-check against jnp.fft with the same planar loss
+    g2r, g2i = jax.grad(
+        lambda r, i: jnp.sum(
+            jnp.real(jnp.fft.fftn(jax.lax.complex(r, i))) ** 2),
+        argnums=(0, 1))(re, im)
+    assert np.allclose(np.asarray(gr), np.asarray(g2r), rtol=1e-4,
+                       atol=1e-4)
+    assert np.allclose(np.asarray(gi), np.asarray(g2i), rtol=1e-4,
+                       atol=1e-4)
