@@ -154,6 +154,20 @@ def test_transpose_irfft_planar(packed):
     _check_transpose(lambda r, i: p((r, i)), (fr, fi), tol=1e-4)
 
 
+def test_transpose_irfft_complex_nonplanar_fused():
+    """complex64 non-planar irfft routes through the fused local
+    pipeline (_local_fft3d -> Pallas): wrapped with the pack^T rule
+    under JAX's complex conj convention."""
+    shape = (16, 16, 256)
+    p = offt_tpu.plan(shape, "complex64", real=True, inverse=True)
+    f = jnp.asarray(_randc((16, 16, 129), 21, np.complex64))
+
+    def fn(re, im):
+        return p(jax.lax.complex(re, im))
+
+    _check_transpose(fn, (jnp.real(f), jnp.imag(f)), tol=1e-4)
+
+
 def test_transpose_irfft_odd_n():
     p = offt_tpu.plan((8, 8, 7), "complex128", real=True, inverse=True)
     f = jnp.asarray(_randc((8, 8, 4), 13))
