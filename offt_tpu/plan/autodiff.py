@@ -78,6 +78,31 @@ def _half_weights(nf: int, nz: int, packed: bool, dtype):
     return jnp.asarray(w, dtype)
 
 
+def _make_vjp_wrapper(fn, two_in: bool, bwd_fn):
+    """custom_vjp shell: primal = fn, no residuals, bwd = bwd_fn(ct)
+    returning the input-cotangent tuple."""
+    if two_in:
+        @jax.custom_vjp
+        def dfn(a, b):
+            return fn(a, b)
+
+        def fwd(a, b):
+            return fn(a, b), None
+    else:
+        @jax.custom_vjp
+        def dfn(a):
+            return fn(a)
+
+        def fwd(a):
+            return fn(a), None
+
+    def bwd(_, ct):
+        return bwd_fn(ct)
+
+    dfn.defvjp(fwd, bwd)
+    return dfn
+
+
 def wrap_plan_fn(fn, *, shape, dtype, mesh, real: bool, inverse: bool,
                  norm, batch_dims: int, planar_in: bool, planar_out: bool,
                  packed: bool, batch_sharded: bool = False, params=None):
@@ -85,156 +110,125 @@ def wrap_plan_fn(fn, *, shape, dtype, mesh, real: bool, inverse: bool,
     jax.vjp work through it. ``fn`` must be the plan's linear executable
     (planar or complex calling convention).
 
-    Returns None (= use native autodiff) for inverse-real plans outside
-    the fused local packed pipeline: their transpose depends on the
-    pipeline's off-Hermitian bin-0/M convention, and the generic jnp
-    paths (fp64, odd N) are natively differentiable AND exact. The c2c
-    rule (symmetric W) and the rfft rule (zero-pad + Re) are
-    implementation-free, so those wrap unconditionally. Known limit:
-    jax.grad of a DISTRIBUTED complex64 irfft plan raises (Pallas
-    stages inside, no wrapper formula) — use float64 or grad through
-    the forward plan instead."""
+    Pipelines with no Pallas inside (fp64, or use_pallas=0) return None
+    and differentiate NATIVELY — exact, and forward-mode (jvp/jacfwd)
+    keeps working there; custom_vjp-wrapped Pallas paths support
+    reverse mode only (call the plan on tangents directly for a manual
+    jvp: FFTs are linear). The c2c rule (symmetric W) and the rfft rule
+    (zero-pad + Re) are implementation-free; the c2r rule transposes
+    the even/odd untangle algebra that EVERY even-N c2r pipeline here
+    shares (fused packed slab, icrfft_last, the generic irfft_1d —
+    verified identical off-manifold). Known limit: reverse mode through
+    an ODD-N complex64 c2r plan raises with a clear message (its
+    untangle differs and the generic pipeline holds Pallas)."""
     from .api import plan  # deferred: api imports this module
 
     flip = _flip_norm(norm)
     nz = shape[2]
 
-    if real and inverse:
-        from ..kernels import pallas_fft as pf
-        fused = (mesh is None and jnp.dtype(dtype) == jnp.complex64
-                 and (params is None or params.use_pallas)
-                 and pf.can_use_rfft3d(*shape))
-        if not fused:
-            return None  # native jnp autodiff (exact for generic paths)
+    # Pallas-free pipelines: native autodiff is exact and supports
+    # forward mode — don't wrap (the kernels gate on complex64 + the
+    # use_pallas knob; everything else is pure jnp).
+    has_pallas = (jnp.dtype(dtype) == jnp.complex64
+                  and (params is None or params.use_pallas))
+    if not has_pallas:
+        return None
+
+    if real and inverse and nz % 2 != 0:
+        # odd-N c2r: different untangle, and the pipeline may hold
+        # Pallas axis kernels — fail reverse mode with a clear message
+        def _unsupported(*_):
+            raise NotImplementedError(
+                "reverse-mode autodiff of an odd-N complex64 c2r plan "
+                "is not supported; use float64 (native autodiff) or "
+                "params.use_pallas=0")
+        return _make_vjp_wrapper(fn, planar_in, _unsupported)
+
+    _adj_cache = {}
+
+    def _adj_plan(planar=True, **kw):
+        # memoized: an eager jax.grad loop executes bwd per step, and an
+        # unmemoized plan() would re-jit the adjoint every time (20-40 s
+        # per remote TPU compile)
+        key = (planar, tuple(sorted((k, str(v)) for k, v in kw.items())))
+        if key not in _adj_cache:
+            _adj_cache[key] = plan(shape, dtype, batch_dims=batch_dims,
+                                   planar=planar, norm=flip, **kw)
+        return _adj_cache[key]
 
     def _adj_c2c_planar(ctr, cti):
-        p = plan(shape, dtype, mesh=mesh, inverse=not inverse,
-                 norm=flip, batch_dims=batch_dims, planar=True,
-                 batch_sharded=batch_sharded)
+        p = _adj_plan(mesh=mesh, inverse=not inverse,
+                      batch_sharded=batch_sharded)
         return p._fn(ctr, cti)
 
     def _adj_rfft_planar(ctr, cti):
         # transpose of real -> half-spectrum: zero-pad + inverse c2c,
         # keep the real plane
         fr, fi = _zero_pad_z(ctr, cti, nz, packed)
-        p = plan(shape, dtype, mesh=mesh, inverse=True, norm=flip,
-                 batch_dims=batch_dims, planar=True)
+        p = _adj_plan(mesh=mesh, inverse=True,
+                      batch_sharded=batch_sharded)
         zr, _ = p._fn(fr, fi)
         return zr
 
     def _adj_irfft_planar(y_ct):
-        # transpose of the FUSED packed pipeline (the only wrapped
-        # irfft): forward packed rfft (flipped norm) + interior
-        # doubling, then pack^T back onto the numpy layout if needed
-        p = plan(shape, dtype, mesh=None, real=True, inverse=False,
-                 norm=flip, batch_dims=batch_dims, planar=True,
-                 packed=True)
-        vr, vi = p._fn(y_ct)
-        w = _half_weights(vr.shape[-1], nz, packed=True, dtype=vr.dtype)
-        vr = vr * w
-        vi = vi * w
+        # transpose of the shared even/odd c2r untangle: forward rfft
+        # (flipped norm) + interior-bin doubling + pack^T. The packed
+        # primal uses the packed adjoint plan directly; the numpy
+        # layout folds pack o rfft_np: p0 = v0 + i*vM, ct_w0 = p0,
+        # ct_wM = -i*p0 (interior x2).
         if packed:
-            return vr, vi
-        # pack^T: the packed plane-0 cotangent (a, b) feeds the numpy
-        # layout as ct_w0 = a + ib, ct_wM = b - ia
-        return (jnp.concatenate([vr, vi[..., :1]], axis=-1),
-                jnp.concatenate([vi, -vr[..., :1]], axis=-1))
+            p = _adj_plan(mesh=mesh, real=True, inverse=False,
+                          packed=True)
+            vr, vi = p._fn(y_ct)
+            w = _half_weights(vr.shape[-1], nz, packed=True,
+                              dtype=vr.dtype)
+            return vr * w, vi * w
+        p = _adj_plan(mesh=mesh, real=True, inverse=False,
+                      batch_sharded=batch_sharded)
+        vr, vi = p._fn(y_ct)           # numpy layout (..., M+1)
+        m = vr.shape[-1] - 1
+        w = jnp.asarray([1.0] + [2.0] * (m - 1), vr.dtype)
+        p0r = vr[..., :1] - vi[..., m:]      # p0 = v0 + i*vM
+        p0i = vi[..., :1] + vr[..., m:]
+        return (jnp.concatenate([p0r, vr[..., 1:m] * w[1:], p0i],
+                                axis=-1),
+                jnp.concatenate([p0i, vi[..., 1:m] * w[1:], -p0r],
+                                axis=-1))
 
     if planar_in and planar_out:          # c2c planar
-        @jax.custom_vjp
-        def dfn(re, im):
-            return fn(re, im)
-
-        def fwd(re, im):
-            return fn(re, im), None
-
-        def bwd(_, ct):
-            return _adj_c2c_planar(*ct)
-
-        dfn.defvjp(fwd, bwd)
-        return dfn
+        return _make_vjp_wrapper(fn, True, lambda ct: _adj_c2c_planar(*ct))
 
     if planar_out and not planar_in:      # rfft planar: real -> pair
-        @jax.custom_vjp
-        def dfn(x):
-            return fn(x)
-
-        def fwd(x):
-            return fn(x), None
-
-        def bwd(_, ct):
-            return (_adj_rfft_planar(*ct),)
-
-        dfn.defvjp(fwd, bwd)
-        return dfn
+        return _make_vjp_wrapper(fn, False,
+                                 lambda ct: (_adj_rfft_planar(*ct),))
 
     if planar_in and not planar_out:      # irfft planar: pair -> real
-        @jax.custom_vjp
-        def dfn(re, im):
-            return fn(re, im)
+        return _make_vjp_wrapper(fn, True, _adj_irfft_planar)
 
-        def fwd(re, im):
-            return fn(re, im), None
-
-        def bwd(_, ct):
-            return _adj_irfft_planar(ct)
-
-        dfn.defvjp(fwd, bwd)
-        return dfn
-
-    # ---- complex calling convention (CPU / fp64 / generic paths) ----
+    # ---- complex calling convention ----
     # JAX's complex-cotangent convention is conj o (R-transpose) o conj.
     # For the symmetric c2c DFT that collapses mathematically to the
     # primal map a*W, but the cotangent arrives with the OUTPUT sharding
     # — so express a*W via the direction-flipped plan (whose in/out
     # shardings are the primal's swapped): a*W*ct = conj(a*G*conj(ct)).
     if not real:
-        def _adj_c2c(ct):
-            p = plan(shape, dtype, mesh=mesh, inverse=not inverse,
-                     norm=flip, batch_dims=batch_dims,
-                     batch_sharded=batch_sharded)
-            return jnp.conj(p._fn(jnp.conj(ct)))
+        def _bwd_c2c(ct):
+            p = _adj_plan(mesh=mesh, inverse=not inverse,
+                          batch_sharded=batch_sharded, planar=False)
+            return (jnp.conj(p._fn(jnp.conj(ct))),)
 
-        @jax.custom_vjp
-        def dfn(x):
-            return fn(x)
-
-        def fwd(x):
-            return fn(x), None
-
-        def bwd(_, ct):
-            return (_adj_c2c(ct),)
-
-        dfn.defvjp(fwd, bwd)
-        return dfn
+        return _make_vjp_wrapper(fn, False, _bwd_c2c)
 
     if not inverse:                       # complex rfft: real -> complex
-        @jax.custom_vjp
-        def dfn(x):
-            return fn(x)
-
-        def fwd(x):
-            return fn(x), None
-
-        def bwd(_, ct):
+        def _bwd_rfft(ct):
             # conj convention; output real so the outer conj is a no-op
             g = _adj_rfft_planar(jnp.real(ct), -jnp.imag(ct))
-            return (g.astype(jnp.float64 if jnp.dtype(dtype) ==
-                             jnp.complex128 else jnp.float32),)
+            return (g.astype(jnp.float32),)
 
-        dfn.defvjp(fwd, bwd)
-        return dfn
+        return _make_vjp_wrapper(fn, False, _bwd_rfft)
 
-    @jax.custom_vjp                       # complex irfft: complex -> real
-    def dfn(x):
-        return fn(x)
-
-    def fwd(x):
-        return fn(x), None
-
-    def bwd(_, ct):
+    def _bwd_irfft(ct):                   # complex irfft: complex -> real
         gr, gi = _adj_irfft_planar(ct)
         return (jax.lax.complex(gr, -gi).astype(jnp.dtype(dtype)),)
 
-    dfn.defvjp(fwd, bwd)
-    return dfn
+    return _make_vjp_wrapper(fn, False, _bwd_irfft)

@@ -110,11 +110,15 @@ def _check_transpose(f, args, seed=7, tol=1e-6):
     conjugated on both sides (a no-op for planar/real paths)."""
     y, vjp = jax.vjp(f, *args)
 
+    leaf_seed = [seed]
+
     def mk(a):
         a = np.asarray(a)
+        leaf_seed[0] += 1  # distinct per leaf: identical (ctr, cti)
+        # planar cotangents would mask re/im cross-wiring bugs
         if np.iscomplexobj(a):
-            return jnp.asarray(_randc(a.shape, seed, a.dtype))
-        return jnp.asarray(_rand(a.shape, seed, a.dtype))
+            return jnp.asarray(_randc(a.shape, leaf_seed[0], a.dtype))
+        return jnp.asarray(_rand(a.shape, leaf_seed[0], a.dtype))
 
     ct = jax.tree_util.tree_map(mk, y)
     g = vjp(ct)
@@ -225,6 +229,45 @@ def test_grad_distributed_irfft_native():
                   holomorphic=False)(f)
     assert np.allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9,
                        atol=1e-9)
+
+
+def test_transpose_distributed_irfft_c64():
+    """Distributed complex64 c2r: wrapped with the shared even/odd
+    untangle transpose (the distributed z-stage is irfft_1d /
+    icrfft_last — same algebra as the fused local pipeline)."""
+    mesh = make_mesh(2, 4)
+    p = offt_tpu.plan((16, 16, 16), "complex64", real=True, inverse=True,
+                      mesh=mesh)
+    f = jnp.asarray(_randc((16, 16, 9), 22, np.complex64))
+
+    def fn(re, im):
+        return p(jax.lax.complex(re, im))
+
+    _check_transpose(fn, (jnp.real(f), jnp.imag(f)), tol=1e-4)
+
+
+def test_jvp_native_fp64():
+    """Pallas-free plans are NOT wrapped, so forward-mode works."""
+    p = offt_tpu.plan((8, 8, 8), "complex128")
+    x = jnp.asarray(_randc((8, 8, 8), 23))
+    dx = jnp.asarray(_randc((8, 8, 8), 24))
+    y, dy = jax.jvp(lambda z: p(z), (x,), (dx,))
+    # linear: tangent == plan(tangent)
+    assert np.allclose(np.asarray(dy), np.asarray(p(dx)), rtol=1e-12)
+
+
+def test_odd_n_c64_c2r_grad():
+    """Odd-N complex64 c2r: default_params disables Pallas for shapes
+    the fused kernels can't take, so the plan is unwrapped and native
+    autodiff handles it (the NotImplementedError wrapper only fires
+    for explicit use_pallas=1 odd-N configs)."""
+    p = offt_tpu.plan((8, 8, 7), "complex64", real=True, inverse=True)
+    f = jnp.asarray(_randc((8, 8, 4), 25, np.complex64))
+
+    def fn(re, im):
+        return p(jax.lax.complex(re, im))
+
+    _check_transpose(fn, (jnp.real(f), jnp.imag(f)), tol=1e-4)
 
 
 def test_grad_under_jit_composes():
