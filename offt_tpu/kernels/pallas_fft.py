@@ -764,12 +764,19 @@ def _sublane_kernel(*refs, radices: tuple,
 
 def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
                 inverse: bool = False, radices=None, block_lanes: int = 0,
-                precision: str = DEFAULT_PRECISION, scale: float = 1.0):
+                precision: str = DEFAULT_PRECISION, scale: float = 1.0,
+                alias: bool = False):
     """Batched FFT along any non-last axis of planar float32 arrays.
 
     The array is viewed as (prefix, N, lanes) with lanes = product of the
     trailing dims; each grid cell transforms one (N, lane-tile) block with
     sublane-axis MXU contractions — no data transposition anywhere.
+
+    ``alias=True`` writes the output over the input buffers
+    (input_output_aliases): in/out block maps are 1:1, so each grid
+    step only overwrites the block it already holds in VMEM. This is
+    what lets HBM-scale transforms run in ONE array's footprint (the
+    in-place 1024^3 c2c path).
     """
     axis = axis % xr.ndim
     if axis == xr.ndim - 1:
@@ -808,6 +815,7 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
         out_shape=(jax.ShapeDtypeStruct(shape3, jnp.float32),
                    jax.ShapeDtypeStruct(shape3, jnp.float32)),
         interpret=_interpret(),
+        **({"input_output_aliases": {0: 0, 1: 1}} if alias else {}),
         **_vmem_params(12 * n * tl * 4),
     )(xr3, xi3, *consts)
     return yr.reshape(xr.shape), yi.reshape(xr.shape)
@@ -952,18 +960,43 @@ def fft3d_planar(xr, xi, inverse: bool = False,
                  rad_z=None, rad_y=None, rad_x=None,
                  precision: str = DEFAULT_PRECISION, block: int = 0,
                  slab_rows: int = 0, out_scale: float = 1.0,
-                 x_tile=None):
+                 x_tile=None, in_place: bool = False):
     """Full 3-D c2c transform on planar arrays: 2-3 HBM round trips
     (fused (y,z) slab when it fits VMEM + one kernel per remaining axis).
 
     ``out_scale`` multiplies the result at ZERO runtime cost — it rides
     the final stage's constant tables (norm='ortho'/'forward' conventions
     come free here, unlike an elementwise post-multiply which costs a
-    full HBM read+write pass)."""
+    full HBM read+write pass).
+
+    ``in_place=True`` aliases every kernel's output onto its input, so
+    the whole transform runs in ONE planar pair's HBM footprint (pair
+    the calling jit with donated inputs). This forgoes the stride-padded
+    x layout (pad changes the shape), trading x-pass bank conflicts for
+    the halved footprint — the only way 1024^3 c2c fits a 16 GB chip."""
     ax, ay, az = xr.ndim - 3, xr.ndim - 2, xr.ndim - 1
     kw = {"precision": precision, "block": block}
     ny, nz = xr.shape[ay], xr.shape[az]
     fuse = can_fuse_slab(ny, nz, rad_y, rad_z)
+    if in_place:
+        nx_ = xr.shape[ax]
+        if not fuse or nx_ <= 1:
+            raise ValueError("in_place needs a fusable (y,z) slab and a "
+                             "real x axis")
+        if not inverse:
+            xr, xi = fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z,
+                                 precision=precision, block_rows=slab_rows,
+                                 alias=True)
+            return fft_sublane(xr, xi, ax, radices=rad_x,
+                               precision=precision, block_lanes=block,
+                               scale=out_scale, alias=True)
+        xr, xi = fft_sublane(xr, xi, ax, inverse=True, radices=rad_x,
+                             precision=precision, block_lanes=block,
+                             scale=1.0 / nx_, alias=True)
+        return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y, rad_z=rad_z,
+                           precision=precision,
+                           scale=out_scale / (ny * nz),
+                           block_rows=slab_rows, alias=True)
     if not inverse:
         # stride-padded x path: only when the slab fuses, x is 2-stage
         # expressible and the x row stride is bank-conflicting — any
@@ -1099,14 +1132,19 @@ def can_fuse_slab(ny: int, nz: int, rad_y=None, rad_z=None) -> bool:
 def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
                 rad_y=None, rad_z=None,
                 precision: str = DEFAULT_PRECISION, zpad: int = 0,
-                z_true: int = 0, scale: float = 1.0, block_rows: int = 0):
+                z_true: int = 0, scale: float = 1.0, block_rows: int = 0,
+                alias: bool = False):
     """FFT along the last TWO axes of planar (..., Y, Z) float32 arrays in a
     single fused kernel (one HBM read + one write for both axes).
 
     ``zpad`` appends unwritten pad lanes per (x, y) row of the OUTPUT
     (stride-breaking layout for the downstream x-axis kernel); the result
     then has trailing shape (Y, Z + zpad). ``z_true`` declares that the
-    INPUT's z axis carries trailing pad lanes to skip (pitched reads)."""
+    INPUT's z axis carries trailing pad lanes to skip (pitched reads).
+    ``alias=True`` (requires zpad == 0 and no input pad) writes over the
+    input buffers — the in-place HBM-scale path (see fft_sublane)."""
+    if alias and (zpad or z_true):
+        raise ValueError("alias requires identical in/out layouts")
     ny, nz = xr.shape[-2], xr.shape[-1]
     if z_true:
         nz = z_true
@@ -1157,6 +1195,7 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
         out_shape=(jax.ShapeDtypeStruct(out_shape3, jnp.float32),
                    jax.ShapeDtypeStruct(out_shape3, jnp.float32)),
         interpret=_interpret(),
+        **({"input_output_aliases": {0: 0, 1: 1}} if alias else {}),
         **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * nz * 4
                        + sum(c.nbytes for c in consts)),
     )(xr3, xi3, *consts)

@@ -373,7 +373,8 @@ def _jit_plan_fn(spec: ProblemSpec, raw_fn, in_shard, out_shard,
 
 def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
               planar: bool = False, out_scale: float = 1.0,
-              packed: bool = False, donate: bool = False):
+              packed: bool = False, donate: bool = False,
+              in_place: bool = False):
     def _scaled(fn_inner):
         if out_scale == 1.0:
             return fn_inner
@@ -430,9 +431,13 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                     rad_z=params.radix_z, rad_y=params.radix_y,
                     rad_x=params.radix_x, precision=params.precision,
                     block=params.block_batch, slab_rows=params.slab_rows,
-                    out_scale=out_scale, x_tile=params.x_tile)
+                    out_scale=out_scale, x_tile=params.x_tile,
+                    in_place=in_place)
             return jax.jit(fn,
                            donate_argnums=(0, 1) if donate else ()), True
+    if in_place:
+        raise ValueError("in_place: shape/radix config is not eligible "
+                         "for the fused planar c2c kernels")
     raw_fn, in_shard, out_shard = _build_raw(spec, params, mesh, ndim,
                                              packed=packed)
     return _jit_plan_fn(spec, _scaled(raw_fn), in_shard, out_shard, planar,
@@ -469,6 +474,7 @@ def plan(
     batch_sharded: bool = False,
     packed: bool = False,
     donate: bool = False,
+    in_place: bool = False,
 ) -> Plan:
     """Build a 3-D FFT plan. ``shape`` is the spatial (Nx, Ny, Nz).
 
@@ -482,6 +488,12 @@ def plan(
     plane0 + i*planeM — exactly 128-lane-aligned, ~2.3x faster than the
     numpy (..., Nz/2+1) layout on v5e. Convert with
     ``offt_tpu.kernels.pallas_fft.unpack_rfft3d / pack_rfft3d``.
+
+    ``in_place=True`` (planar c2c fast path, pair with ``donate=True``)
+    aliases every kernel's output onto its input so the transform runs
+    in ONE planar pair's HBM footprint — 1024^3 c2c (8 GiB live instead
+    of 16+) fits a single 16 GB chip this way, where XLA's fftn OOMs at
+    512^3 already.
     """
     if len(shape) != 3:
         raise ValueError(f"shape must be (Nx, Ny, Nz), got {shape}")
@@ -541,8 +553,13 @@ def plan(
               or pf._pick_2stage(shape[2] // 2, params.radix_z) is None):
             raise ValueError(f"packed layout needs Nz even with Nz/2 "
                              f"2-stage expressible (got Nz={shape[2]})")
+    if in_place and (mesh is not None or real or not planar
+                     or not params.use_pallas):
+        raise ValueError("in_place requires the single-device planar "
+                         "c2c Pallas fast path")
     fn, in_planar = _build_fn(spec, params, mesh, ndim, planar=planar,
-                              out_scale=scale, packed=packed, donate=donate)
+                              out_scale=scale, packed=packed, donate=donate,
+                              in_place=in_place)
     from .autodiff import wrap_plan_fn
     dfn = wrap_plan_fn(fn, shape=tuple(shape), dtype=spec.dtype, mesh=mesh,
                        real=real, inverse=inverse, norm=norm,

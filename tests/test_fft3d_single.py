@@ -110,3 +110,36 @@ def test_fft2d():
     # plain 2-D array too
     y = rand_c((16, 16), np.complex128, seed=34)
     assert rel_err(offt_tpu.fft2d(y), np.fft.fft2(y)) < 1e-12
+
+
+def test_in_place_plan():
+    """in_place=True aliases kernel outputs onto inputs (one planar
+    pair's HBM footprint — the 1024^3-on-one-chip path); correctness
+    and autodiff must be unchanged."""
+    import jax
+    import jax.numpy as jnp
+    from offt_tpu.plan.params import PlanParams
+
+    pp = PlanParams(use_pallas=1, precision="stack6")
+    x = rand_c((32, 16, 128), np.complex64)
+    p = offt_tpu.plan((32, 16, 128), "complex64", planar=True,
+                      in_place=True, donate=True, params=pp)
+    yr, yi = p((x.real.copy(), x.imag.copy()))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert rel_err(got, np.fft.fftn(x)) < 1e-5
+    pi = offt_tpu.plan((32, 16, 128), "complex64", planar=True,
+                       in_place=True, donate=True, inverse=True, params=pp)
+    back = pi((yr, yi))
+    assert rel_err(np.asarray(back[0]) + 1j * np.asarray(back[1]), x) < 1e-5
+    # autodiff composes (the adjoint is a regular plan)
+    p2 = offt_tpu.plan((32, 16, 128), "complex64", planar=True,
+                       in_place=True, params=pp)
+    g = jax.grad(lambda r, i: jnp.sum(p2((r, i))[0] ** 2
+                                      + p2((r, i))[1] ** 2),
+                 argnums=(0, 1))(jnp.asarray(x.real), jnp.asarray(x.imag))
+    n3 = 32 * 16 * 128
+    assert rel_err(np.asarray(g[0]), 2 * n3 * x.real) < 1e-5
+    # ineligible configs refuse loudly instead of silently copying
+    with pytest.raises(ValueError, match="in_place"):
+        offt_tpu.plan((32, 16, 128), "complex64", planar=True,
+                      in_place=True, real=True, params=pp)
