@@ -693,11 +693,14 @@ def _last_kernel(*refs, radices: tuple, precision: str = DEFAULT_PRECISION,
 
 def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
              radices=None, block_rows: int = 0,
-             precision: str = DEFAULT_PRECISION, scale: float = 1.0):
+             precision: str = DEFAULT_PRECISION, scale: float = 1.0,
+             alias: bool = False):
     """Batched FFT along the last axis of planar (..., N) float32 arrays.
 
     Returns (yr, yi). No 1/N scaling on inverse (caller handles, matching
     stockham internals). Requires N expressible in 1-3 radix stages.
+    ``alias=True`` writes over the input buffers (see fft_sublane); it
+    requires a batch that is already a block multiple (no pad copy).
     """
     n = xr.shape[-1]
     rad = _pick_stages(n, radices, stacked=precision == "stack6")
@@ -733,6 +736,10 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
         out_shape=(jax.ShapeDtypeStruct((bp, n), jnp.float32),
                    jax.ShapeDtypeStruct((bp, n), jnp.float32)),
         interpret=_interpret(),
+        # aliasing is only meaningful when the pad copy didn't already
+        # duplicate the buffers
+        **({"input_output_aliases": {0: 0, 1: 1}} if alias and bp == b
+           else {}),
         # in/out planar pairs double-buffered + transpose/core temps;
         # without this the default 16M scoped limit rejects n >= 2048
         # at the default 512-row block (hit at 8x2048^2 2-D, r2)
@@ -832,7 +839,7 @@ def can_use_pallas(n: int, radices=None) -> bool:
 def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
                   radices=None, scale: bool = True,
                   precision: str = DEFAULT_PRECISION, block: int = 0,
-                  out_scale: float = 1.0):
+                  out_scale: float = 1.0, alias: bool = False):
     """Planar 1-D FFT along ``axis`` (numpy fft/ifft semantics).
 
     The inverse 1/N normalization — and any extra ``out_scale`` (norm
@@ -848,11 +855,12 @@ def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
                 xi if knob == 1.0 else xi * jnp.float32(knob))
     if axis == xr.ndim - 1:
         yr, yi = fft_last(xr, xi, inverse=inverse, radices=radices,
-                          precision=precision, block_rows=block, scale=knob)
+                          precision=precision, block_rows=block, scale=knob,
+                          alias=alias)
     else:
         yr, yi = fft_sublane(xr, xi, axis, inverse=inverse, radices=radices,
                              precision=precision, block_lanes=block,
-                             scale=knob)
+                             scale=knob, alias=alias)
     return yr, yi
 
 
@@ -980,9 +988,15 @@ def fft3d_planar(xr, xi, inverse: bool = False,
     fuse = can_fuse_slab(ny, nz, rad_y, rad_z)
     if in_place:
         nx_ = xr.shape[ax]
-        if not fuse or nx_ <= 1:
-            raise ValueError("in_place needs a fusable (y,z) slab and a "
-                             "real x axis")
+        if nx_ == 1:
+            # 2-D: last + sublane kernel pair, both aliased
+            xr, xi = fft_1d_planar(xr, xi, az, inverse=inverse,
+                                   radices=rad_z, alias=True, **kw)
+            return fft_1d_planar(xr, xi, ay, inverse=inverse,
+                                 radices=rad_y, out_scale=out_scale,
+                                 alias=True, **kw)
+        if not fuse:
+            raise ValueError("in_place needs a fusable (y,z) slab")
         if not inverse:
             xr, xi = fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z,
                                  precision=precision, block_rows=slab_rows,

@@ -138,3 +138,68 @@ def clear() -> None:
         _cache_file().unlink()
     except FileNotFoundError:
         pass
+
+
+# ---- wisdom-style portability (fftw_export_wisdom/import parity:
+# the reference's FFTW sub-plans keep wisdom process-local; here tuned
+# plans can move between machines of the same device kind) ----
+
+def export_wisdom(path) -> int:
+    """Write the merged (bundled + local) cache to ``path``; returns
+    the number of entries."""
+    db = dict(_bundled())
+    db.update(_load())
+    pathlib.Path(path).write_text(json.dumps(db, indent=1, sort_keys=True))
+    return len(db)
+
+
+def import_wisdom(path) -> int:
+    """Merge entries from ``path`` into the local cache (better-perf
+    entries win, matching store()); returns the number imported."""
+    incoming = json.loads(pathlib.Path(path).read_text())
+    n = 0
+    for key, rec in incoming.items():
+        try:
+            params = _params_from_json(rec["params"])
+        except (KeyError, TypeError):
+            continue
+        store(key, params, rec.get("perf"))
+        n += 1
+    return n
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m offt_tpu.plan.cache",
+        description="tuned-plan cache (wisdom) maintenance")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="print cache entries (local + bundled)")
+    pe = sub.add_parser("export", help="write merged cache to FILE")
+    pe.add_argument("file")
+    pi = sub.add_parser("import", help="merge FILE into the local cache")
+    pi.add_argument("file")
+    sub.add_parser("clear", help="delete the local cache")
+    ns = ap.parse_args(argv)
+    if ns.cmd == "list":
+        local = _load()
+        for src, db in (("bundled", _bundled()), ("local", local)):
+            for k, rec in sorted(db.items()):
+                perf = rec.get("perf")
+                perf_s = f"{perf * 1e3:.3f} ms" if perf else "-"
+                print(f"{src:8s} {k}  perf={perf_s}")
+        print(f"# {len(_bundled())} bundled, {len(local)} local "
+              f"({_cache_file()})")
+    elif ns.cmd == "export":
+        print(f"exported {export_wisdom(ns.file)} entries -> {ns.file}")
+    elif ns.cmd == "import":
+        print(f"imported {import_wisdom(ns.file)} entries")
+    elif ns.cmd == "clear":
+        clear()
+        print("cleared", _cache_file())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

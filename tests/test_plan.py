@@ -148,3 +148,29 @@ def test_bundled_entries_all_load_and_feasible():
                            inverse=key.endswith("|inv"))
         assert infeasible_reason(spec, params) is None, key
         assert rec.get("perf") and rec["perf"] > 0, key
+
+
+def test_wisdom_export_import(tmp_path, monkeypatch, capsys):
+    """FFTW-wisdom-style portability: export merged cache, import into
+    a fresh cache dir, better-perf merge semantics."""
+    from offt_tpu.plan.params import PlanParams
+
+    monkeypatch.setenv("OFFT_TPU_CACHE_DIR", str(tmp_path / "a"))
+    key = cache.plan_key((64, 64, 64), "complex64", False, 1, 1, "cpu")
+    cache.store(key, PlanParams(ry=7), perf=2e-3)
+    wf = tmp_path / "wisdom.json"
+    n = cache.export_wisdom(wf)
+    assert n >= 1
+
+    monkeypatch.setenv("OFFT_TPU_CACHE_DIR", str(tmp_path / "b"))
+    assert cache.lookup(key) is None or cache.lookup(key).ry != 7
+    assert cache.import_wisdom(wf) >= 1
+    assert cache.lookup(key).ry == 7
+    # merge keeps the better perf
+    cache.store(key, PlanParams(ry=9), perf=1e-3)
+    cache.import_wisdom(wf)          # 2e-3 entry must NOT overwrite 1e-3
+    assert cache.lookup(key).ry == 9
+    # CLI smoke
+    cache.main(["list"])
+    out = capsys.readouterr().out
+    assert key in out
