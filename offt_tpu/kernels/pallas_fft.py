@@ -1114,6 +1114,29 @@ _SLAB_VMEM_LIMIT = 1 << 20
 _SLAB_VMEM_PLANES = 24
 
 
+def _pick_slab_rows(block_rows: int, slab_elems: int, p: int) -> int:
+    """Shared x-rows-per-block heuristic for every (y,z)-slab kernel.
+
+    ``slab_elems`` is the per-row working-set element count (use the
+    SAME measure on mirrored fwd/inv kernels — an n-vs-m asymmetry here
+    cost a measured 6% on the irfft slab, r3). Bigger blocks mean bigger
+    DMAs (tb=4 at 256^2: 2.25 -> 2.07 ms full 256^3), but blocks that
+    barely fit the scoped-vmem cap starve Mosaic's pipelining — the
+    auto heuristic halves tb until HALF the cap is free (768^2 tb=2 fit
+    at 113 MiB but measured 33.8 ms vs 30.8 at tb=1; 1024^3 r2c tb=2 at
+    100 MiB measured 54.3 vs 47.2 at tb=1)."""
+    tb = block_rows or max(2, min(8, (1 << 18) // max(slab_elems, 1)))
+    if not block_rows:
+        while tb > 1 and _SLAB_VMEM_PLANES * tb * slab_elems * 4 > _VMEM_CAP // 2:
+            tb //= 2
+    while tb > 1 and _SLAB_VMEM_PLANES * tb * slab_elems * 4 > _VMEM_CAP:
+        tb //= 2
+    tb = min(tb, p)
+    while p % tb != 0:
+        tb -= 1
+    return tb
+
+
 def _slab_kernel(*refs, rz: tuple, ry: tuple, ncz: int,
                  precision: str = DEFAULT_PRECISION, inverse: bool = False):
     # blocks are (TB, Y, Z): TB x-rows per block (bigger DMAs for small
@@ -1177,21 +1200,7 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     consts = [jnp.asarray(v) for v in (*cz, *cy)]
     kernel = functools.partial(_slab_kernel, rz=rz, ry=ry, ncz=len(cz),
                                precision=precision, inverse=inverse)
-    # multiple x-rows per block (bigger DMAs; block_rows = tunable override).
-    # Measured on v5e: tb=4 at 256^2 (2.25 -> 2.07 ms full 256^3),
-    # tb=2 at 512^2 (17.8 -> 17.4 ms full 512^3), tb=8 at <=128^2 slabs.
-    # The heuristic halves tb until HALF the scoped-vmem cap is free:
-    # blocks that barely fit leave Mosaic no pipelining headroom (768^2
-    # tb=2 fit the cap at 113 MiB but measured 33.8 ms vs 30.8 at tb=1).
-    tb = block_rows or max(2, min(8, (1 << 18) // max(ny * nz, 1)))
-    if not block_rows:
-        while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * nz * 4 > _VMEM_CAP // 2:
-            tb //= 2
-    while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * nz * 4 > _VMEM_CAP:
-        tb //= 2
-    tb = min(tb, p)
-    while p % tb != 0:
-        tb -= 1
+    tb = _pick_slab_rows(block_rows, ny * nz, p)
     # in/out blocks carry only the true z lanes; any trailing pad lanes in
     # the in/out ARRAYS are skipped by partial coverage (pitched DMA)
     in_blk = pl.BlockSpec((tb, ny, nz), lambda i: (i, 0, 0),
@@ -1708,18 +1717,7 @@ def rfft_slab_yz(x: jax.Array, rad_y=None, rad_z=None,
     consts = [jnp.asarray(v) for v in (*cm, *untangle, *cy)]
     kernel = functools.partial(_rfft_slab_kernel, rm=rm, ry=ry, ncm=len(cm),
                                precision=precision, dual=dual)
-    # vmem-headroom rule as in fft_slab_yz: blocks that barely fit the
-    # cap starve Mosaic's pipeline (1024^3 r2c tb=2 at 100 MiB measured
-    # 54.3 ms vs 47.2 at tb=1)
-    tb = block_rows or max(2, min(8, (1 << 18) // max(ny * m, 1)))
-    if not block_rows:
-        while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * m * 4 > _VMEM_CAP // 2:
-            tb //= 2
-    while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * m * 4 > _VMEM_CAP:
-        tb //= 2
-    tb = min(tb, p)
-    while p % tb != 0:
-        tb -= 1
+    tb = _pick_slab_rows(block_rows, ny * m, p)
     in_blk = pl.BlockSpec((tb, ny, n), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     out_blk = pl.BlockSpec((tb, ny, m), lambda i: (i, 0, 0),
@@ -1952,20 +1950,9 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
                                ncy=len(cy), ncm=len(cm),
                                precision=precision, has_side=has_side,
                                dual=dual, scale=float(scale))
-    # working-set estimate on ny*m, MATCHING rfft_slab_yz: both slabs move
-    # the same bytes per block (in + out = 2n lanes' worth either way), so
-    # an n-based estimate here forced tb=1 where the mirror rfft ran tb=2
-    # (512^3 measured: tb=1 5.36 ms vs tb=2 5.01 — the estimate asymmetry
-    # was a real 6% loss; 1024^3 still lands tb=1 under the same rule)
-    tb = block_rows or max(2, min(8, (1 << 18) // max(ny * m, 1)))
-    if not block_rows:  # vmem-headroom rule (see rfft_slab_yz)
-        while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * m * 4 > _VMEM_CAP // 2:
-            tb //= 2
-    while tb > 1 and _SLAB_VMEM_PLANES * tb * ny * m * 4 > _VMEM_CAP:
-        tb //= 2
-    tb = min(tb, p)
-    while p % tb != 0:
-        tb -= 1
+    # working set on ny*m, MATCHING rfft_slab_yz: both slabs move the
+    # same bytes per block (in + out = 2n lanes' worth either way)
+    tb = _pick_slab_rows(block_rows, ny * m, p)
     in_blk = pl.BlockSpec((tb, ny, m), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     out_blk = pl.BlockSpec((tb, ny, n), lambda i: (i, 0, 0),
