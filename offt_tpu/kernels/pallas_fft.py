@@ -716,6 +716,11 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     tb = min(tb, -(-b // 128) * 128)
     bp = -(-b // tb) * tb
     if bp != b:
+        if alias:
+            # the pad COPY would silently void the aliased-footprint
+            # guarantee the caller asked for — refuse loudly
+            raise ValueError(f"alias requires the batch ({b}) to be a "
+                             f"block multiple ({tb})")
         xr2 = jnp.pad(xr2, ((0, bp - b), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, bp - b), (0, 0)))
     consts = [jnp.asarray(c) for c in
@@ -736,10 +741,7 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
         out_shape=(jax.ShapeDtypeStruct((bp, n), jnp.float32),
                    jax.ShapeDtypeStruct((bp, n), jnp.float32)),
         interpret=_interpret(),
-        # aliasing is only meaningful when the pad copy didn't already
-        # duplicate the buffers
-        **({"input_output_aliases": {0: 0, 1: 1}} if alias and bp == b
-           else {}),
+        **({"input_output_aliases": {0: 0, 1: 1}} if alias else {}),
         # in/out planar pairs double-buffered + transpose/core temps;
         # without this the default 16M scoped limit rejects n >= 2048
         # at the default 512-row block (hit at 8x2048^2 2-D, r2)

@@ -553,10 +553,20 @@ def plan(
               or pf._pick_2stage(shape[2] // 2, params.radix_z) is None):
             raise ValueError(f"packed layout needs Nz even with Nz/2 "
                              f"2-stage expressible (got Nz={shape[2]})")
-    if in_place and (mesh is not None or real or not planar
-                     or not params.use_pallas):
-        raise ValueError("in_place requires the single-device planar "
-                         "c2c Pallas fast path")
+    if in_place:
+        from ..kernels import pallas_fft as pf
+        if (mesh is not None or real or not planar
+                or not params.use_pallas):
+            raise ValueError("in_place requires the single-device planar "
+                             "c2c Pallas fast path")
+        if (shape[0] > 1 and not pf.can_fuse_slab(
+                shape[1], shape[2], params.radix_y, params.radix_z)):
+            # validate the fusable-slab requirement HERE (plan() is the
+            # documented validation point), not at first execution
+            raise ValueError("in_place needs a fusable (y,z) slab: "
+                             f"ny*nz = {shape[1] * shape[2]} exceeds the "
+                             "VMEM slab ceiling or an axis is not "
+                             "2-stage expressible")
     fn, in_planar = _build_fn(spec, params, mesh, ndim, planar=planar,
                               out_scale=scale, packed=packed, donate=donate,
                               in_place=in_place)
@@ -566,7 +576,7 @@ def plan(
                        batch_dims=batch_dims, planar_in=in_planar,
                        planar_out=planar and not (real and inverse),
                        packed=packed, batch_sharded=batch_sharded,
-                       params=params)
+                       params=params, in_place=in_place)
     return Plan(spec=spec, params=params, mesh=mesh, ndim=ndim, _fn=fn,
                 planar=planar, _in_planar=in_planar, _dfn=dfn)
 

@@ -105,7 +105,8 @@ def _make_vjp_wrapper(fn, two_in: bool, bwd_fn):
 
 def wrap_plan_fn(fn, *, shape, dtype, mesh, real: bool, inverse: bool,
                  norm, batch_dims: int, planar_in: bool, planar_out: bool,
-                 packed: bool, batch_sharded: bool = False, params=None):
+                 packed: bool, batch_sharded: bool = False, params=None,
+                 in_place: bool = False):
     """Wrap a built plan executable with jax.custom_vjp so jax.grad /
     jax.vjp work through it. ``fn`` must be the plan's linear executable
     (planar or complex calling convention).
@@ -152,13 +153,26 @@ def wrap_plan_fn(fn, *, shape, dtype, mesh, real: bool, inverse: bool,
         # per remote TPU compile)
         key = (planar, tuple(sorted((k, str(v)) for k, v in kw.items())))
         if key not in _adj_cache:
-            _adj_cache[key] = plan(shape, dtype, batch_dims=batch_dims,
-                                   planar=planar, norm=flip, **kw)
+            try:
+                # inherit the primal's params (use_pallas/precision/
+                # radices) — the adjoint should run the same kernel
+                # family the primal does
+                _adj_cache[key] = plan(shape, dtype, batch_dims=batch_dims,
+                                       planar=planar, norm=flip,
+                                       params=params, **kw)
+            except ValueError:
+                # direction-flipped feasibility can differ (chunk roles
+                # swap); fall back to the cache/heuristic point
+                _adj_cache[key] = plan(shape, dtype, batch_dims=batch_dims,
+                                       planar=planar, norm=flip, **kw)
         return _adj_cache[key]
 
     def _adj_c2c_planar(ctr, cti):
+        # capacity-mode primal -> capacity-mode adjoint: without
+        # in_place the backward would need the 2x footprint the primal
+        # exists to avoid (the cotangent is a temporary, safe to alias)
         p = _adj_plan(mesh=mesh, inverse=not inverse,
-                      batch_sharded=batch_sharded)
+                      batch_sharded=batch_sharded, in_place=in_place)
         return p._fn(ctr, cti)
 
     def _adj_rfft_planar(ctr, cti):
@@ -187,13 +201,11 @@ def wrap_plan_fn(fn, *, shape, dtype, mesh, real: bool, inverse: bool,
                       batch_sharded=batch_sharded)
         vr, vi = p._fn(y_ct)           # numpy layout (..., M+1)
         m = vr.shape[-1] - 1
-        w = jnp.asarray([1.0] + [2.0] * (m - 1), vr.dtype)
-        p0r = vr[..., :1] - vi[..., m:]      # p0 = v0 + i*vM
+        p0r = vr[..., :1] - vi[..., m:]      # p0 = v0 + i*vM (weight 1)
         p0i = vi[..., :1] + vr[..., m:]
-        return (jnp.concatenate([p0r, vr[..., 1:m] * w[1:], p0i],
-                                axis=-1),
-                jnp.concatenate([p0i, vi[..., 1:m] * w[1:], -p0r],
-                                axis=-1))
+        # interior bins double (self + conjugate mirror)
+        return (jnp.concatenate([p0r, vr[..., 1:m] * 2.0, p0i], axis=-1),
+                jnp.concatenate([p0i, vi[..., 1:m] * 2.0, -p0r], axis=-1))
 
     if planar_in and planar_out:          # c2c planar
         return _make_vjp_wrapper(fn, True, lambda ct: _adj_c2c_planar(*ct))

@@ -145,26 +145,48 @@ def clear() -> None:
 # plans can move between machines of the same device kind) ----
 
 def export_wisdom(path) -> int:
-    """Write the merged (bundled + local) cache to ``path``; returns
-    the number of entries."""
-    db = dict(_bundled())
-    db.update(_load())
+    """Write the LOCAL cache to ``path``; returns the number of entries.
+
+    Bundled entries are deliberately NOT exported: the importing
+    machine's package ships its own (possibly newer) bundled set, and
+    copying them into its local cache would shadow future
+    tuned_defaults.json upgrades forever (local wins over bundled)."""
+    db = _load()
     pathlib.Path(path).write_text(json.dumps(db, indent=1, sort_keys=True))
     return len(db)
 
 
 def import_wisdom(path) -> int:
-    """Merge entries from ``path`` into the local cache (better-perf
-    entries win, matching store()); returns the number imported."""
+    """Merge entries from ``path`` into the local cache; returns the
+    number of entries actually applied.
+
+    Better-perf-wins per key, in ONE in-memory merge + one atomic
+    write: a measured local entry is never replaced by an incoming
+    entry without a better measured perf (perf-less incoming rows only
+    fill missing keys)."""
     incoming = json.loads(pathlib.Path(path).read_text())
+    db = _load()
     n = 0
     for key, rec in incoming.items():
         try:
-            params = _params_from_json(rec["params"])
+            _params_from_json(rec["params"])  # validate
         except (KeyError, TypeError):
             continue
-        store(key, params, rec.get("perf"))
+        old = db.get(key)
+        if old is not None:
+            new_perf = rec.get("perf")
+            if new_perf is None or (old.get("perf") is not None
+                                    and old["perf"] <= new_perf):
+                continue
+        db[key] = {"params": rec["params"], "perf": rec.get("perf")}
         n += 1
+    if n:
+        d = cache_dir()
+        d.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(db, fh, indent=1, sort_keys=True)
+        os.replace(tmp, _cache_file())
     return n
 
 
