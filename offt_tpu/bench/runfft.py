@@ -65,6 +65,9 @@ def _parse_args(argv=None):
                    help="check output vs numpy (golden input)")
     p.add_argument("--breakdown", action="store_true",
                    help="per-stage timing table (offt_print_time parity)")
+    p.add_argument("--in-place", action="store_true",
+                   help="capacity mode: aliased kernels + donated inputs "
+                        "(one planar pair's HBM footprint; c2c only)")
     return p.parse_args(argv)
 
 
@@ -161,7 +164,8 @@ def main(argv=None):
         p = offt_tpu.plan(shape[-3:], "complex64", mesh=mesh, real=ns.r2c,
                           inverse=ns.inverse, params=params, planar=True,
                           batch_dims=len(shape) - 3,
-                          packed=ns.packed and ns.r2c)
+                          packed=ns.packed and ns.r2c,
+                          in_place=ns.in_place, donate=ns.in_place)
         if ns.r2c and not ns.inverse:
             args = (re,)
         else:
@@ -170,7 +174,18 @@ def main(argv=None):
             args = (re, im)
         fn = p._fn
         t_init = time.time() - t_init0
-        t = _bench_chained(fn, args, ns.reps)
+        if ns.in_place:
+            # donated inputs can't be re-issued; feed outputs back
+            # (c2c keeps shapes) inside one fori_loop program
+            from offt_tpu.obs.profile import time_fn_looped, fence
+
+            def body(c):
+                yr, yi = fn(*c)
+                return fence(yr, yr[..., :1]), yi
+
+            t = time_fn_looped(jax.jit(body), args)
+        else:
+            t = _bench_chained(fn, args, ns.reps)
         if ns.verify:
             _verify(p, shape, ns)
         if ns.breakdown and not ns.r2c and not ns.batch:
