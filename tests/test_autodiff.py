@@ -291,3 +291,22 @@ def test_grad_under_jit_composes():
                        atol=1e-4)
     assert np.allclose(np.asarray(gi), np.asarray(g2i), rtol=1e-4,
                        atol=1e-4)
+
+
+@pytest.mark.parametrize("trial", range(5))
+def test_fuzz_transpose_wrapped_c64(trial):
+    """Random eligible shapes x direction x norm through the WRAPPED
+    (Pallas, complex64) paths: the transpose identity must hold."""
+    from offt_tpu.plan.params import PlanParams
+
+    rng = np.random.default_rng(4200 + trial)
+    dims = [8, 16, 24, 32, 64]
+    shape = tuple(int(rng.choice(dims)) for _ in range(3))
+    inverse = bool(rng.integers(0, 2))
+    norm = [None, "ortho", "forward"][int(rng.integers(0, 3))]
+    pp = PlanParams(use_pallas=1, precision="stack6")
+    p = offt_tpu.plan(shape, "complex64", inverse=inverse, norm=norm,
+                      planar=True, params=pp)
+    re = jnp.asarray(_rand(shape, 100 + trial, np.float32))
+    im = jnp.asarray(_rand(shape, 200 + trial, np.float32))
+    _check_transpose(lambda r, i: p((r, i)), (re, im), tol=1e-4)
