@@ -49,7 +49,43 @@ def bench_chained(fn, args, k_small=2, k_large=22, tries=3):
     return max((t_l - t_s) / (k_large - k_small), 1e-9)
 
 
+def _device_watchdog(timeout_s: float = 300.0):
+    """Fail fast (one diagnostic JSON line) instead of hanging forever
+    when the tunneled TPU is unreachable — observed 2026-08-17: the axon
+    terminal went away mid-session and jax.devices() blocked
+    indefinitely, which would otherwise wedge the whole bench run."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import numpy as np
+            import jax
+            import jax.numpy as jnp
+            x = jax.device_put(np.ones(8, np.float32))
+            result["ok"] = float(jnp.sum(x)) == 8.0
+        except Exception as e:  # noqa: BLE001 - diagnostic path
+            result["err"] = str(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if result.get("ok"):
+        return
+    print(json.dumps({
+        "metric": "3dfft_256^3_c2c_single_chip",
+        "value": None,
+        "unit": "GFLOP/s",
+        "vs_baseline": None,
+        "error": ("device unreachable within "
+                  f"{timeout_s:.0f}s: {result.get('err', 'probe hang')}"),
+    }))
+    sys.exit(0)
+
+
 def main():
+    _device_watchdog()
     import numpy as np
     import jax
     import jax.numpy as jnp
