@@ -49,37 +49,62 @@ def bench_chained(fn, args, k_small=2, k_large=22, tries=3):
     return max((t_l - t_s) / (k_large - k_small), 1e-9)
 
 
-def _device_watchdog(timeout_s: float = 300.0):
+def _device_watchdog(timeout_s: float = 300.0, probes: int = 3,
+                     backoff_s: float = 180.0):
     """Fail fast (one diagnostic JSON line) instead of hanging forever
     when the tunneled TPU is unreachable — observed 2026-08-17: the axon
     terminal went away mid-session and jax.devices() blocked
-    indefinitely, which would otherwise wedge the whole bench run."""
+    indefinitely, which would otherwise wedge the whole bench run.
+
+    Retries: a single 300 s probe cost round 3 its headline receipt when
+    a transient tunnel stall happened to overlap capture time
+    (BENCH_r03.json value:null). Now up to ``probes`` attempts with
+    ``backoff_s`` sleeps between them; only after all fail does the
+    diagnostic line print. Each probe runs in a fresh daemon thread
+    because a hung device_put never returns — the stuck thread is
+    abandoned, not joined. Tune via OFFT_BENCH_PROBES / OFFT_BENCH_PROBE_S
+    / OFFT_BENCH_BACKOFF_S."""
     import threading
 
-    result = {}
+    timeout_s = float(os.environ.get("OFFT_BENCH_PROBE_S", timeout_s))
+    probes = int(os.environ.get("OFFT_BENCH_PROBES", probes))
+    backoff_s = float(os.environ.get("OFFT_BENCH_BACKOFF_S", backoff_s))
 
-    def probe():
-        try:
-            import numpy as np
-            import jax
-            import jax.numpy as jnp
-            x = jax.device_put(np.ones(8, np.float32))
-            result["ok"] = float(jnp.sum(x)) == 8.0
-        except Exception as e:  # noqa: BLE001 - diagnostic path
-            result["err"] = str(e)
+    errs = []
+    for attempt in range(probes):
+        result = {}
 
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    if result.get("ok"):
-        return
+        def probe(res=result):
+            try:
+                import numpy as np
+                import jax
+                import jax.numpy as jnp
+                x = jax.device_put(np.ones(8, np.float32))
+                res["ok"] = float(jnp.sum(x)) == 8.0
+            except Exception as e:  # noqa: BLE001 - diagnostic path
+                res["err"] = str(e)
+
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        if result.get("ok"):
+            if attempt:
+                print(f"# device probe succeeded on attempt {attempt + 1}",
+                      file=sys.stderr)
+            return
+        errs.append(result.get("err", f"probe hang ({timeout_s:.0f}s)"))
+        print(f"# device probe {attempt + 1}/{probes} failed: {errs[-1]}",
+              file=sys.stderr)
+        if attempt + 1 < probes:
+            time.sleep(backoff_s)
     print(json.dumps({
         "metric": "3dfft_256^3_c2c_single_chip",
         "value": None,
         "unit": "GFLOP/s",
         "vs_baseline": None,
-        "error": ("device unreachable within "
-                  f"{timeout_s:.0f}s: {result.get('err', 'probe hang')}"),
+        "error": (f"device unreachable after {probes} probes of "
+                  f"{timeout_s:.0f}s (backoff {backoff_s:.0f}s): "
+                  + "; ".join(errs)),
     }))
     sys.exit(0)
 

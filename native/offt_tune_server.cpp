@@ -57,6 +57,25 @@ std::string json_get_string(const std::string& s, const std::string& key) {
   return s.substr(pos + 1, end - pos - 1);
 }
 
+// like json_get_string, but distinguishes a present string value from an
+// absent key / JSON null (needed for setcfg: value=null means ERASE,
+// value="" means set-to-empty — harmony_inform's val=NULL semantics,
+// hclient.h:106-128)
+bool json_get_string_opt(const std::string& s, const std::string& key,
+                         std::string* out) {
+  auto pos = s.find("\"" + key + "\"");
+  if (pos == std::string::npos) return false;
+  pos = s.find(':', pos);
+  if (pos == std::string::npos) return false;
+  ++pos;
+  while (pos < s.size() && std::isspace((unsigned char)s[pos])) ++pos;
+  if (pos >= s.size() || s[pos] != '"') return false;  // null / non-string
+  auto end = s.find('"', pos + 1);
+  if (end == std::string::npos) return false;
+  *out = s.substr(pos + 1, end - pos - 1);
+  return true;
+}
+
 bool json_get_number(const std::string& s, const std::string& key,
                      double* out) {
   auto pos = s.find("\"" + key + "\"");
@@ -175,6 +194,11 @@ struct Session {
   bool left = false;  // client detached; retained for the UI, evictable
   double best_perf = std::numeric_limits<double>::infinity();
   std::vector<std::pair<double, double>> history;  // (t, perf) for the UI
+  // runtime config database (harmony_query/harmony_inform,
+  // hclient.h:95-128 / session-core.c:927-935): in-memory string KV.
+  // Live keys: STRATEGY_CONVERGED reflects the engine; truthy PAUSED
+  // makes fetch return BUSY.
+  std::map<std::string, std::string> cfg;
 };
 
 class Server {
@@ -269,6 +293,8 @@ class Server {
       sess->ndims = (int)sizes.size();
       sess->engine = std::make_unique<Engine>(strat, sizes,
                                               (unsigned)seed, 0, nullptr);
+      sess->cfg["SESSION_STRATEGY"] = strat;
+      sess->cfg["RANDOM_SEED"] = std::to_string((long)seed);
       int sid = sess->id;
       sessions_[sid] = std::move(sess);
       // bound total retained sessions: evict oldest detached ones first
@@ -292,6 +318,10 @@ class Server {
       return R"({"status": "FAIL", "error": "no such session"})";
     std::lock_guard<std::mutex> lk(sess->mu);
     if (op == "fetch") {
+      auto paused = sess->cfg.find("PAUSED");
+      if (paused != sess->cfg.end() && !paused->second.empty() &&
+          paused->second != "0")
+        return R"({"status": "BUSY"})";
       std::vector<int> pt(sess->ndims);
       if (!sess->engine->generate(pt.data()))
         return R"({"status": "BUSY"})";
@@ -336,6 +366,35 @@ class Server {
     if (op == "converged") {
       return std::string("{\"status\": \"OK\", \"converged\": ") +
              (sess->engine->converged() ? "true" : "false") + "}";
+    }
+    if (op == "getcfg") {
+      std::string key = json_get_string(msg, "key");
+      if (key.empty()) return R"({"status": "FAIL", "error": "no key"})";
+      std::string val_json = "null";
+      if (key == "STRATEGY_CONVERGED") {
+        val_json = sess->engine->converged() ? "\"1\"" : "\"0\"";
+      } else {
+        auto it = sess->cfg.find(key);
+        if (it != sess->cfg.end())
+          val_json = "\"" + json_escape(it->second) + "\"";
+      }
+      return "{\"status\": \"OK\", \"key\": \"" + json_escape(key) +
+             "\", \"value\": " + val_json + "}";
+    }
+    if (op == "setcfg") {
+      std::string key = json_get_string(msg, "key");
+      if (key.empty()) return R"({"status": "FAIL", "error": "no key"})";
+      std::string old_json = "null";
+      auto it = sess->cfg.find(key);
+      if (it != sess->cfg.end())
+        old_json = "\"" + json_escape(it->second) + "\"";
+      std::string val;
+      if (json_get_string_opt(msg, "value", &val))
+        sess->cfg[key] = val;           // set / overwrite
+      else if (it != sess->cfg.end())
+        sess->cfg.erase(it);            // value null/absent: erase
+      return "{\"status\": \"OK\", \"key\": \"" + json_escape(key) +
+             "\", \"old\": " + old_json + "}";
     }
     if (op == "leave") {
       sess->left = true;  // retained for the UI, evictable under pressure

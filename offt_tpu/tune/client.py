@@ -76,6 +76,21 @@ class ServiceClient:
         return bool(self._rpc(op="converged",
                               session=self.session).get("converged"))
 
+    # ---- runtime config (harmony_query/harmony_inform, hclient.h:95-128) -
+    def query(self, key: str) -> Optional[str]:
+        """Read a session config key (None if unset). The live key
+        STRATEGY_CONVERGED reflects the strategy state server-side."""
+        return self._rpc(op="getcfg", session=self.session,
+                         key=str(key)).get("value")
+
+    def inform(self, key: str, value) -> Optional[str]:
+        """Write (or, with value=None, erase) a session config key;
+        returns the original value. Setting PAUSED=1 makes fetch return
+        BUSY until it is erased or set to 0."""
+        return self._rpc(op="setcfg", session=self.session, key=str(key),
+                         value=None if value is None else str(value)
+                         ).get("old")
+
     def close(self):
         try:
             self._rpc(op="leave", session=self.session)

@@ -40,7 +40,8 @@ DEFAULT_PORT = 1979  # the reference's default (defaults.h:24)
 
 
 class Session:
-    def __init__(self, sid: int, name: str, dims, strategy: str, seed: int):
+    def __init__(self, sid: int, name: str, dims, strategy: str, seed: int,
+                 cfg: Optional[dict] = None):
         self.sid = sid
         self.name = name
         space = _SynthSpace(spec=ProblemSpec(shape=(1, 1, 1)),
@@ -50,13 +51,45 @@ class Session:
         self.lock = threading.Lock()
         self.history: list[tuple[float, list, float]] = []
         self.outstanding: set = set()
+        # runtime config database (harmony_query/harmony_inform,
+        # hclient.h:95-128 / session_query/session_inform
+        # session-core.c:927-935): string key/value pairs living only in
+        # memory, seeded from the session descriptor. Two keys are live:
+        # STRATEGY_CONVERGED reflects the strategy (defaults.h:39), and a
+        # truthy PAUSED makes fetch return BUSY (clients then reuse best,
+        # the hclient BUSY convention).
+        self.cfg: dict[str, str] = {
+            "SESSION_STRATEGY": str(strategy),
+            "RANDOM_SEED": str(seed),
+        }
+        if cfg:
+            self.cfg.update({str(k): str(v) for k, v in cfg.items()})
 
     def fetch(self) -> Optional[tuple]:
         with self.lock:
+            if self.cfg.get("PAUSED") not in (None, "", "0"):
+                return None
             pt = self.strategy.generate()
             if pt is not None:
                 self.outstanding.add(tuple(pt))
             return pt
+
+    def getcfg(self, key: str) -> Optional[str]:
+        with self.lock:
+            if key == "STRATEGY_CONVERGED":
+                return "1" if self.strategy.converged() else "0"
+            return self.cfg.get(key)
+
+    def setcfg(self, key: str, val) -> Optional[str]:
+        """Set (or, with val=None, erase) a config key; returns the
+        original value — harmony_inform's contract (hclient.h:106-128)."""
+        with self.lock:
+            old = self.cfg.get(key)
+            if val is None:
+                self.cfg.pop(key, None)
+            else:
+                self.cfg[key] = str(val)
+            return old
 
     def report(self, point, perf: float):
         with self.lock:
@@ -146,7 +179,8 @@ class TuningServer:
                 self.sessions[sid] = Session(
                     sid, msg.get("name", f"session-{sid}"),
                     [(d["name"], d["values"]) for d in msg["dims"]],
-                    msg.get("strategy", "nm"), int(msg.get("seed", 0)))
+                    msg.get("strategy", "nm"), int(msg.get("seed", 0)),
+                    cfg=msg.get("cfg"))
             return {"status": "OK", "session": sid}
         sid = int(msg.get("session", 0))
         sess = self.sessions.get(sid)
@@ -169,6 +203,13 @@ class TuningServer:
             return {"status": "OK", "values": vals, "perf": perf}
         if op == "converged":
             return {"status": "OK", "converged": sess.converged()}
+        if op == "getcfg":
+            key = str(msg["key"])
+            return {"status": "OK", "key": key, "value": sess.getcfg(key)}
+        if op == "setcfg":
+            key = str(msg["key"])
+            old = sess.setcfg(key, msg.get("value"))
+            return {"status": "OK", "key": key, "old": old}
         if op == "leave":
             return {"status": "OK"}
         return {"status": "FAIL", "error": f"unknown op {op!r}"}

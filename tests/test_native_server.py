@@ -115,3 +115,23 @@ def test_native_live_session_api(native_server):
             assert False, "expected 404"
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+
+def test_native_query_inform_cfg(native_server):
+    """getcfg/setcfg over the native server — harmony_query/inform parity."""
+    with ServiceClient("127.0.0.1", native_server) as c:
+        c.create_session([("x", list(range(10)))], strategy="random",
+                         name="cfg-native", seed=7)
+        assert c.query("SESSION_STRATEGY") == "random"
+        assert c.query("RANDOM_SEED") == "7"
+        assert c.query("NOPE") is None
+        assert c.inform("PREFETCH_COUNT", 3) is None
+        assert c.query("PREFETCH_COUNT") == "3"
+        assert c.inform("PREFETCH_COUNT", "5") == "3"
+        assert c.inform("PREFETCH_COUNT", None) == "5"
+        assert c.query("PREFETCH_COUNT") is None
+        assert c.query("STRATEGY_CONVERGED") in ("0", "1")
+        c.inform("PAUSED", 1)
+        assert c.generate() is None
+        c.inform("PAUSED", None)
+        assert c.generate() is not None

@@ -116,3 +116,49 @@ def test_live_session_api_incremental(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_query_inform_cfg(server):
+    """Session runtime config: harmony_query/harmony_inform parity
+    (hclient.h:95-128, session-core.c:927-935)."""
+    with ServiceClient(server.host, server.port) as c:
+        c.create_session([("x", list(range(10)))], strategy="random",
+                         name="cfg")
+        # seeded keys from the session descriptor
+        assert c.query("SESSION_STRATEGY") == "random"
+        assert c.query("RANDOM_SEED") == "0"
+        assert c.query("NOPE") is None
+        # inform returns the ORIGINAL value (hclient.h:115-117)
+        assert c.inform("PREFETCH_COUNT", 3) is None
+        assert c.query("PREFETCH_COUNT") == "3"
+        assert c.inform("PREFETCH_COUNT", "5") == "3"
+        # val=None erases the key
+        assert c.inform("PREFETCH_COUNT", None) == "5"
+        assert c.query("PREFETCH_COUNT") is None
+        # live key: STRATEGY_CONVERGED reflects strategy state
+        assert c.query("STRATEGY_CONVERGED") in ("0", "1")
+        # live key: PAUSED makes fetch return BUSY (-> generate None)
+        c.inform("PAUSED", 1)
+        assert c.generate() is None
+        c.inform("PAUSED", None)
+        assert c.generate() is not None
+
+
+def test_cfg_seeded_at_create(server):
+    """Session descriptor may carry an initial cfg dict (hdef cfg keys)."""
+    import socket as _socket
+    with _socket.create_connection((server.host, server.port),
+                                   timeout=10) as s:
+        fh = s.makefile("rwb")
+        fh.write((json.dumps({
+            "op": "session", "name": "seeded",
+            "dims": [{"name": "x", "values": [0, 1, 2]}],
+            "strategy": "random",
+            "cfg": {"NM_REFLECT_COEFFICIENT": "1.5"}}) + "\n").encode())
+        fh.flush()
+        sid = json.loads(fh.readline())["session"]
+        fh.write((json.dumps({"op": "getcfg", "session": sid,
+                              "key": "NM_REFLECT_COEFFICIENT"})
+                  + "\n").encode())
+        fh.flush()
+        assert json.loads(fh.readline())["value"] == "1.5"
