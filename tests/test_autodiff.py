@@ -246,6 +246,44 @@ def test_transpose_distributed_irfft_c64():
     _check_transpose(fn, (jnp.real(f), jnp.imag(f)), tol=1e-4)
 
 
+def test_grad_distributed_c2r_composite_c64():
+    """Distributed complex64 rfft -> symmetric filter -> irfft composite:
+    the gradient matches numpy's end-to-end (the on-manifold statement
+    from DESIGN.md 4b — a radially symmetric filter keeps the spectrum
+    Hermitian, where every correct irfft transpose agrees)."""
+    mesh = make_mesh(2, 4)
+    n = 16
+    x = jnp.asarray(_rand((n, n, n), 31, np.float32))
+    fx = np.fft.fftfreq(n)[:, None, None]
+    fy = np.fft.fftfreq(n)[None, :, None]
+    fz = np.fft.rfftfreq(n)[None, None, :]
+    k = jnp.asarray(np.exp(-40.0 * (fx**2 + fy**2 + fz**2))
+                    .astype(np.float32))
+    pf = offt_tpu.plan((n, n, n), "complex64", real=True, mesh=mesh)
+    pi = offt_tpu.plan((n, n, n), "complex64", real=True, inverse=True,
+                       mesh=mesh)
+
+    g1 = jax.grad(lambda v: jnp.sum(pi(pf(v) * k) ** 2))(x)
+    g2 = jax.grad(lambda v: jnp.sum(
+        jnp.fft.irfftn(jnp.fft.rfftn(v) * k, s=(n, n, n)) ** 2))(x)
+    rel = float(jnp.linalg.norm(g1 - g2) / jnp.linalg.norm(g2))
+    assert rel < 1e-5, rel
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_transpose_distributed_irfft_planar_c64(packed):
+    """Planar distributed complex64 c2r (both layouts): the pack^T +
+    interior-doubling adjoint composes with the pencil pipeline."""
+    mesh = make_mesh(2, 4)
+    n = 16
+    nf = n // 2 if packed else n // 2 + 1
+    p = offt_tpu.plan((n, n, n), "complex64", real=True, inverse=True,
+                      mesh=mesh, planar=True, packed=packed)
+    xr = jnp.asarray(_rand((n, n, nf), 33, np.float32))
+    xi = jnp.asarray(_rand((n, n, nf), 34, np.float32))
+    _check_transpose(lambda a, b: p((a, b)), (xr, xi), tol=1e-4)
+
+
 def test_jvp_native_fp64():
     """Pallas-free plans are NOT wrapped, so forward-mode works."""
     p = offt_tpu.plan((8, 8, 8), "complex128")
