@@ -29,7 +29,7 @@ def _parse_args(argv=None):
     p.add_argument("--ny", type=int, default=0)
     p.add_argument("--nz", type=int, default=0)
     p.add_argument("-a", "--algo", default="offt",
-                   choices=["offt", "xla", "numpy"])
+                   choices=["offt", "xla", "numpy", "jaxdecomp"])
     p.add_argument("-R", "--r2c", action="store_true")
     p.add_argument("--packed", action="store_true",
                    help="r2c/c2r in the packed-Nyquist half-spectrum "
@@ -120,6 +120,23 @@ def main(argv=None):
 
     import offt_tpu
 
+    if ns.algo == "jaxdecomp":
+        # third-party distributed-FFT baseline (run-fft.c:312-353 compares
+        # FFTW-MPI/P3DFFT/2DECOMP in-process; SURVEY §6 sanctions
+        # jaxdecomp as the TPU-side analogue). Import-gated BEFORE any
+        # device work: the package is not in this image and cannot be
+        # installed (zero-egress); the branch exists so the comparison
+        # runs wherever jaxdecomp IS available.
+        try:
+            import jaxdecomp  # noqa: F401
+        except ImportError:
+            print("# jaxdecomp is not installed in this environment "
+                  "(zero-egress image, see PARITY.md); install it to "
+                  "enable this baseline", file=sys.stderr)
+            print(json.dumps({"algo": "jaxdecomp", "shape": list(shape),
+                              "error": "jaxdecomp not installed"}))
+            return 2
+
     mesh = None
     if ns.mesh or ns.p1 or ns.p2:
         from offt_tpu.dist import make_mesh
@@ -198,6 +215,22 @@ def main(argv=None):
                 bd = pencil_breakdown(shape, mesh, params=params)
             for k, v in bd.items():
                 print(f"# {k}: {v * 1e3:.3f} ms", file=sys.stderr)
+    elif ns.algo == "jaxdecomp":
+        import jax.numpy as jnp
+        import jaxdecomp
+        if ns.r2c or ns.inverse:
+            print("# jaxdecomp baseline wired for c2c forward only",
+                  file=sys.stderr)
+            return 2
+        im = jax.device_put(rng.standard_normal(shape).astype(np.float32))
+
+        @jax.jit
+        def fn(r, i):
+            y = jaxdecomp.fft.pfft3d(jax.lax.complex(r, i))
+            return jnp.real(y), jnp.imag(y)
+        args = (re, im)
+        t_init = time.time() - t_init0
+        t = _bench_chained(fn, args, ns.reps)
     else:  # xla
         import jax.numpy as jnp
 

@@ -859,6 +859,22 @@ def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
         yr, yi = fft_last(xr, xi, inverse=inverse, radices=radices,
                           precision=precision, block_rows=block, scale=knob,
                           alias=alias)
+    elif (axis == xr.ndim - 3 and not alias
+          and (xr.shape[-2] * xr.shape[-1] * 4) % (1 << 16) == 0
+          and can_use_padded_x(n, xr.shape[-2], xr.shape[-1], radices)):
+        # bank-conflicting x row stride (divisible by 2^16 bytes — HBM
+        # channel serialization, see the fft3d_planar gate): pay one
+        # contiguous pad pass to break the stride, then the pitched-read
+        # x kernel. This is the DISTRIBUTED pipeline's local x stage fix
+        # (per-shard pow2 strides hit the same wall the fused single-chip
+        # path already routes around; offt-compute.c:2347-2993 is the
+        # reference's phase-2 FFTx hot kernel) and the unfused path's.
+        padw = [(0, 0)] * xr.ndim
+        padw[-1] = (0, _STRIDE_PAD)
+        yr, yi = fft_x_from_padded(jnp.pad(xr, padw), jnp.pad(xi, padw),
+                                   xr.shape[-1], inverse=inverse,
+                                   radices=radices, precision=precision,
+                                   scale=knob)
     else:
         yr, yi = fft_sublane(xr, xi, axis, inverse=inverse, radices=radices,
                              precision=precision, block_lanes=block,

@@ -342,3 +342,24 @@ def test_fft_last_large_n():
     yr, yi = pf.fft_last(x.real.copy(), x.imag.copy())
     assert rel_err(np.asarray(yr) + 1j * np.asarray(yi),
                    np.fft.fft(x, axis=-1)) < 1e-5
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_padded_x_1d_route(inverse):
+    """fft_1d_planar routes a 3rd-from-last axis with a 64KiB-divisible
+    row stride through pad + the pitched-read x kernel (the distributed
+    pipeline's local x stage fix; gate mirrors fft3d_planar's)."""
+    x = rand_c64((16, 32, 512), seed=91)     # 32*512*4 = 2^16 stride
+    assert pf.can_use_padded_x(16, 32, 512)
+    yr, yi = pf.fft_1d_planar(x.real.copy(), x.imag.copy(), axis=0,
+                              inverse=inverse)
+    fn = np.fft.ifft if inverse else np.fft.fft
+    want = fn(x.astype(np.complex128), axis=0)
+    assert rel_err(np.asarray(yr) + 1j * np.asarray(yi), want) < 1e-5
+
+
+def test_padded_x_1d_route_batched():
+    x = rand_c64((2, 16, 32, 512), seed=92)
+    yr, yi = pf.fft_1d_planar(x.real.copy(), x.imag.copy(), axis=1)
+    want = np.fft.fft(x.astype(np.complex128), axis=1)
+    assert rel_err(np.asarray(yr) + 1j * np.asarray(yi), want) < 1e-5
