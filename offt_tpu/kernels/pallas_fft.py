@@ -69,6 +69,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _stack6_presplit() -> bool:
+    """A/B switch for the stage-wide operand pre-split (read at trace
+    time; see _sublane_core_vpu)."""
+    import os
+    return os.environ.get("OFFT_STACK6_PRESPLIT", "0") == "1"
+
+
 def _fold_complex(f: np.ndarray) -> np.ndarray:
     """Real block matrix G = [[Fr, -Fi], [Fi, Fr]] so that
     G @ [re; im] == [Re(F@x); Im(F@x)] — one real matmul with doubled
@@ -114,13 +121,20 @@ def _stack6_np(g: np.ndarray) -> np.ndarray:
                            g1.astype(bf), g1.astype(bf), g2], axis=-1)
 
 
-def _split3_cat(x):
-    """Runtime 3-word bf16 split of the data operand, stacked along the
-    contraction (first) axis in the order matching _stack6_np."""
+def _split3(x):
+    """Runtime 3-word bf16 split of a data operand (x = x0 + x1 + x2 up
+    to the dropped O(2^-27) tail)."""
     x0 = x.astype(jnp.bfloat16)
     r = x - x0.astype(jnp.float32)
     x1 = r.astype(jnp.bfloat16)
     x2 = (r - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x0, x1, x2
+
+
+def _split3_cat(x):
+    """3-word split stacked along the contraction (first) axis in the
+    order matching _stack6_np."""
+    x0, x1, x2 = _split3(x)
     return jnp.concatenate([x0, x1, x2, x0, x1, x0], axis=0)
 
 
@@ -630,14 +644,31 @@ def _sublane_core_vpu(xr, xi, gs, r1, r2, inverse, precision):
     x3i = xi.reshape(r1, r2, lanes)
     stacked = gs.dtype == jnp.bfloat16
     prec = _dot_precision(precision)
+    presplit = stacked and _stack6_presplit()
+    if presplit:
+        # A/B variant (OFFT_STACK6_PRESPLIT=1): 3-word-split the WHOLE
+        # stage input once (two big VPU passes Mosaic can pipeline
+        # against the block DMA) instead of per-dot; per-j operands
+        # assemble from slices. Same arithmetic, different op
+        # granularity — candidate fix for the stack6 operand-build
+        # residual (~1.4x-of-floor on the 768-class pass, VERDICT r3 #4).
+        sr = _split3(x3r)
+        si = _split3(x3i)
     ts = []
     for j in range(r2):
-        xs = jnp.concatenate([x3r[:, j, :], x3i[:, j, :]], axis=0)
-        if stacked:
-            a = _stacked_dot(gs[j], xs)
+        if presplit:
+            xs = jnp.concatenate(
+                [w[:, j, :] for w in (sr[0], si[0], sr[1], si[1],
+                                      sr[2], si[2], sr[0], si[0],
+                                      sr[1], si[1], sr[0], si[0])], axis=0)
+            a = jnp.dot(gs[j], xs, preferred_element_type=jnp.float32)
         else:
-            a = jnp.dot(gs[j], xs, preferred_element_type=jnp.float32,
-                        precision=prec)
+            xs = jnp.concatenate([x3r[:, j, :], x3i[:, j, :]], axis=0)
+            if stacked:
+                a = _stacked_dot(gs[j], xs)
+            else:
+                a = jnp.dot(gs[j], xs, preferred_element_type=jnp.float32,
+                            precision=prec)
         ts.append((a[:r1], a[r1:]))
     ys = _dft_vpu(ts, inverse)
     yr = jnp.stack([y[0] for y in ys], axis=0).reshape(n, lanes)
