@@ -116,12 +116,12 @@ def wrap_plan_fn(fn, *, shape, dtype, mesh, real: bool, inverse: bool,
     keeps working there; custom_vjp-wrapped Pallas paths support
     reverse mode only (call the plan on tangents directly for a manual
     jvp: FFTs are linear). The c2c rule (symmetric W) and the rfft rule
-    (zero-pad + Re) are implementation-free; the c2r rule transposes
-    the even/odd untangle algebra that EVERY even-N c2r pipeline here
+    (zero-pad + Re) are implementation-free; the even-N c2r rule
+    transposes the untangle algebra that EVERY even-N c2r pipeline here
     shares (fused packed slab, icrfft_last, the generic irfft_1d —
-    verified identical off-manifold). Known limit: reverse mode through
-    an ODD-N complex64 c2r plan raises with a clear message (its
-    untangle differs and the generic pipeline holds Pallas)."""
+    verified identical off-manifold); the odd-N c2r rule transposes the
+    Hermitian-extension pipeline (no Nyquist, no pack: bin 0 weight 1,
+    every other bin weight 2)."""
     from .api import plan  # deferred: api imports this module
 
     flip = _flip_norm(norm)
@@ -134,16 +134,6 @@ def wrap_plan_fn(fn, *, shape, dtype, mesh, real: bool, inverse: bool,
                   and (params is None or params.use_pallas))
     if not has_pallas:
         return None
-
-    if real and inverse and nz % 2 != 0:
-        # odd-N c2r: different untangle, and the pipeline may hold
-        # Pallas axis kernels — fail reverse mode with a clear message
-        def _unsupported(*_):
-            raise NotImplementedError(
-                "reverse-mode autodiff of an odd-N complex64 c2r plan "
-                "is not supported; use float64 (native autodiff) or "
-                "params.use_pallas=0")
-        return _make_vjp_wrapper(fn, planar_in, _unsupported)
 
     _adj_cache = {}
 
@@ -190,6 +180,20 @@ def wrap_plan_fn(fn, *, shape, dtype, mesh, real: bool, inverse: bool,
         # primal uses the packed adjoint plan directly; the numpy
         # layout folds pack o rfft_np: p0 = v0 + i*vM, ct_w0 = p0,
         # ct_wM = -i*p0 (interior x2).
+        if nz % 2 != 0:
+            # ODD N: the primal is Hermitian-extension + c2c inverse +
+            # Re (kernels/rfft.py:86-92) — no Nyquist, no pack. Its
+            # exact transpose: u = flipped-norm forward fft of the real
+            # cotangent; ext^T adds conj(u[n-j]) to bin j>=1, and for a
+            # REAL cotangent u[n-j] == conj(u[j]), so the mirror term
+            # is just u[j] again: bin 0 weight 1, every other bin
+            # weight 2 (_half_weights keeps w[-1] = 2 for odd N).
+            p = _adj_plan(mesh=mesh, real=True, inverse=False,
+                          batch_sharded=batch_sharded)
+            vr, vi = p._fn(y_ct)
+            w = _half_weights(vr.shape[-1], nz, packed=False,
+                              dtype=vr.dtype)
+            return vr * w, vi * w
         if packed:
             p = _adj_plan(mesh=mesh, real=True, inverse=False,
                           packed=True)
