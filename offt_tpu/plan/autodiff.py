@@ -24,11 +24,15 @@ FFTs are linear, so every cotangent rule is another plan:
   conjugate mirror), and the pack matrix transposed back onto the
   plane-0/M bins.
 
-Forward-mode (jvp) is not wired: jax.custom_vjp functions reject jvp,
-and the tangent rule would just be the plan itself — call the plan on
-the tangent directly. The reference has no analogue (MPI/C has no
-autodiff); this is TPU-first API surface for jax.grad users
-(spectral losses, neural operators, differentiable physics).
+Forward-mode: the planar paths and the complex c2c path are declared
+via jax.custom_derivatives.linear_call (primal + plain transpose), so
+jvp/jacfwd AND vjp/grad both work, with higher-order AD free (the
+transpose of linear_call(f, fT) is linear_call(fT, f)). Only the mixed
+real<->complex rfft/irfft COMPLEX calling conventions stay on
+custom_vjp (reverse mode only) — their planar twins support both
+modes. The reference has no analogue (MPI/C has no autodiff); this is
+TPU-first API surface for jax.grad users (spectral losses, neural
+operators, differentiable physics).
 """
 
 from __future__ import annotations
@@ -76,6 +80,30 @@ def _half_weights(nf: int, nz: int, packed: bool, dtype):
     if not packed and nz % 2 == 0:
         w[-1] = 1.0
     return jnp.asarray(w, dtype)
+
+
+def _make_linear_wrapper(fn, two_in: bool, transpose_fn):
+    """jax.custom_derivatives.linear_call shell: the primal is declared
+    LINEAR with ``transpose_fn`` as its plain (un-conjugated) transpose.
+    Unlike custom_vjp this supports BOTH differentiation modes — the
+    jvp of a linear map is the map itself, the vjp is derived from the
+    transpose (JAX adds its complex-conjugation convention), and
+    higher-order AD is free (the transpose of linear_call(f, ft) is
+    linear_call(ft, f)). Used for the planar paths (pure R-linear) and
+    the complex c2c path (C-linear); the mixed real<->complex rfft/irfft
+    complex conventions stay on custom_vjp (reverse mode only)."""
+    from jax.custom_derivatives import linear_call
+
+    if two_in:
+        def dfn(a, b):
+            return linear_call(lambda _, xs: fn(*xs),
+                               lambda _, ct: tuple(transpose_fn(ct)),
+                               (), (a, b))
+    else:
+        def dfn(a):
+            return linear_call(lambda _, x: fn(x),
+                               lambda _, ct: transpose_fn(ct), (), a)
+    return dfn
 
 
 def _make_vjp_wrapper(fn, two_in: bool, bwd_fn):
@@ -212,14 +240,15 @@ def wrap_plan_fn(fn, *, shape, dtype, mesh, real: bool, inverse: bool,
                 jnp.concatenate([p0i, vi[..., 1:m] * 2.0, -p0r], axis=-1))
 
     if planar_in and planar_out:          # c2c planar
-        return _make_vjp_wrapper(fn, True, lambda ct: _adj_c2c_planar(*ct))
+        return _make_linear_wrapper(fn, True,
+                                    lambda ct: _adj_c2c_planar(*ct))
 
     if planar_out and not planar_in:      # rfft planar: real -> pair
-        return _make_vjp_wrapper(fn, False,
-                                 lambda ct: (_adj_rfft_planar(*ct),))
+        return _make_linear_wrapper(fn, False,
+                                    lambda ct: _adj_rfft_planar(*ct))
 
     if planar_in and not planar_out:      # irfft planar: pair -> real
-        return _make_vjp_wrapper(fn, True, _adj_irfft_planar)
+        return _make_linear_wrapper(fn, True, _adj_irfft_planar)
 
     # ---- complex calling convention ----
     # JAX's complex-cotangent convention is conj o (R-transpose) o conj.
@@ -228,12 +257,16 @@ def wrap_plan_fn(fn, *, shape, dtype, mesh, real: bool, inverse: bool,
     # — so express a*W via the direction-flipped plan (whose in/out
     # shardings are the primal's swapped): a*W*ct = conj(a*G*conj(ct)).
     if not real:
-        def _bwd_c2c(ct):
+        def _t_c2c(ct):
+            # plain C-linear transpose: a*W^T = a*W (symmetric), with
+            # the cotangent arriving in the OUTPUT sharding — express
+            # via the direction-flipped plan (swapped in/out shardings):
+            # a*W*ct = conj(a*G*conj(ct))
             p = _adj_plan(mesh=mesh, inverse=not inverse,
                           batch_sharded=batch_sharded, planar=False)
-            return (jnp.conj(p._fn(jnp.conj(ct))),)
+            return jnp.conj(p._fn(jnp.conj(ct)))
 
-        return _make_vjp_wrapper(fn, False, _bwd_c2c)
+        return _make_linear_wrapper(fn, False, _t_c2c)
 
     if not inverse:                       # complex rfft: real -> complex
         def _bwd_rfft(ct):

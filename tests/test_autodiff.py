@@ -394,3 +394,76 @@ def test_grad_odd_n_c2r_composite_matches_numpy():
         jnp.fft.irfftn(jnp.fft.rfftn(v) * k, s=shape) ** 2))(x)
     rel = float(jnp.linalg.norm(g1 - g2) / jnp.linalg.norm(g2))
     assert rel < 1e-5, rel
+
+
+def test_jvp_wrapped_planar_c2c():
+    """Forward mode through Pallas-wrapped PLANAR plans (linear_call:
+    the jvp of a linear map is the map itself). Was impossible under
+    custom_vjp."""
+    p = offt_tpu.plan((16, 8, 8), "complex64", planar=True)
+    re = jnp.asarray(_rand((16, 8, 8), 51, np.float32))
+    im = jnp.asarray(_rand((16, 8, 8), 52, np.float32))
+    tr = jnp.asarray(_rand((16, 8, 8), 53, np.float32))
+    ti = jnp.asarray(_rand((16, 8, 8), 54, np.float32))
+    _, t = jax.jvp(lambda a, b: p((a, b)), (re, im), (tr, ti))
+    want = np.fft.fftn(np.asarray(tr) + 1j * np.asarray(ti))
+    got = np.asarray(t[0]) + 1j * np.asarray(t[1])
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+
+def test_jvp_wrapped_complex_c2c_and_grad_of_grad():
+    """Complex c2c via linear_call: jvp works, and second-order AD is
+    exact (the transpose of linear_call(f, fT) is linear_call(fT, f))."""
+    pc = offt_tpu.plan((8, 8, 8), "complex64")
+    x = jnp.asarray(_randc((8, 8, 8), 55, np.complex64))
+    tx = jnp.asarray(_randc((8, 8, 8), 56, np.complex64))
+    _, tv = jax.jvp(pc, (x,), (tx,))
+    ref = jnp.fft.fftn(tx)
+    assert float(jnp.linalg.norm(tv - ref) / jnp.linalg.norm(ref)) < 1e-5
+
+    def loss(v):
+        return jnp.sum(jnp.abs(pc(v)) ** 2)
+
+    def meta(v):
+        return jnp.sum(jnp.abs(jax.grad(loss)(v)) ** 2)
+
+    def meta_ref(v):
+        g = jax.grad(lambda u: jnp.sum(jnp.abs(jnp.fft.fftn(u)) ** 2))(v)
+        return jnp.sum(jnp.abs(g) ** 2)
+
+    h = jax.grad(meta)(x)
+    h2 = jax.grad(meta_ref)(x)
+    assert float(jnp.linalg.norm(h - h2) / jnp.linalg.norm(h2)) < 1e-5
+
+
+def test_jvp_wrapped_planar_rfft_irfft():
+    pr = offt_tpu.plan((16, 8, 8), "complex64", real=True, planar=True)
+    x = jnp.asarray(_rand((16, 8, 8), 57, np.float32))
+    tx = jnp.asarray(_rand((16, 8, 8), 58, np.float32))
+    _, (tvr, tvi) = jax.jvp(lambda v: pr(v), (x,), (tx,))
+    want = np.fft.rfftn(np.asarray(tx))
+    got = np.asarray(tvr) + 1j * np.asarray(tvi)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+    pi = offt_tpu.plan((16, 8, 8), "complex64", real=True, inverse=True,
+                       planar=True)
+    fr = jnp.asarray(_rand((16, 8, 5), 59, np.float32))
+    fi = jnp.asarray(_rand((16, 8, 5), 60, np.float32))
+    tfr = jnp.asarray(_rand((16, 8, 5), 61, np.float32))
+    tfi = jnp.asarray(_rand((16, 8, 5), 62, np.float32))
+    y, t = jax.jvp(lambda a, b: pi((a, b)), (fr, fi), (tfr, tfi))
+    want = np.asarray(pi((tfr, tfi)))     # linearity: jvp == the map
+    assert np.linalg.norm(np.asarray(t) - want) / np.linalg.norm(want) < 1e-5
+
+
+def test_jvp_wrapped_distributed_planar():
+    mesh = make_mesh(2, 4)
+    p = offt_tpu.plan((16, 16, 16), "complex64", planar=True, mesh=mesh)
+    re = jnp.asarray(_rand((16, 16, 16), 63, np.float32))
+    im = jnp.asarray(_rand((16, 16, 16), 64, np.float32))
+    tr = jnp.asarray(_rand((16, 16, 16), 65, np.float32))
+    ti = jnp.asarray(_rand((16, 16, 16), 66, np.float32))
+    _, t = jax.jvp(lambda a, b: p((a, b)), (re, im), (tr, ti))
+    want = np.fft.fftn(np.asarray(tr) + 1j * np.asarray(ti))
+    got = np.asarray(t[0]) + 1j * np.asarray(t[1])
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
