@@ -467,3 +467,19 @@ def test_jvp_wrapped_distributed_planar():
     want = np.fft.fftn(np.asarray(tr) + 1j * np.asarray(ti))
     got = np.asarray(t[0]) + 1j * np.asarray(t[1])
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+
+def test_vmap_and_vmap_of_grad_compose():
+    """jax.vmap (and vmap∘grad) through a wrapped planar plan — the
+    linear_call wrapper inherits batching from its operands."""
+    p = offt_tpu.plan((8, 8, 8), "complex64", planar=True)
+    re = jnp.asarray(_rand((3, 8, 8, 8), 71, np.float32))
+    im = jnp.asarray(_rand((3, 8, 8, 8), 72, np.float32))
+    yr, yi = jax.vmap(lambda a, b: p((a, b)))(re, im)
+    want = np.fft.fftn(np.asarray(re) + 1j * np.asarray(im),
+                       axes=(-3, -2, -1))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+    g = jax.vmap(jax.grad(lambda a, b: jnp.sum(p((a, b))[0] ** 2),
+                          argnums=0))(re, im)
+    assert g.shape == (3, 8, 8, 8)
