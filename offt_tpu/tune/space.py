@@ -286,7 +286,7 @@ def build_space(
         lanes = nz_ // 2 if spec.real else nz_
         stride = ny_ * nz_ * 4
         reachable = spec.real or stride % (1 << 16) == 0
-        xt = [None] + [(ty, tz) for ty, tz in ((16, 128), (8, 256))
+        xt = [None] + [(ty, tz) for ty, tz in ((4, 128), (16, 128), (8, 256))
                        if reachable and ny_ % ty == 0 and lanes % tz == 0]
         if len(xt) > 1:
             dims.append(Dimension("x_tile", tuple(xt)))
