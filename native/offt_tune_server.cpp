@@ -452,7 +452,17 @@ class Server {
              json_escape(s->name) +
              "\", \"total\": " + std::to_string(s->history.size()) +
              ", \"converged\": " +
-             (s->engine->converged() ? "true" : "false") + ", \"best\": {";
+             (s->engine->converged() ? "true" : "false") + ", \"cfg\": {";
+      {
+        bool cfirst = true;   // runtime config (session-view parity)
+        for (const auto& kv : s->cfg) {
+          if (!cfirst) body += ", ";
+          cfirst = false;
+          body += "\"" + json_escape(kv.first) + "\": \"" +
+                  json_escape(kv.second) + "\"";
+        }
+      }
+      body += "}, \"best\": {";
       if (std::isfinite(s->best_perf)) {
         snprintf(num, sizeof(num), "%.17g", s->best_perf);
         body += std::string("\"perf\": ") + num;

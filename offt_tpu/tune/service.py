@@ -289,6 +289,7 @@ class TuningServer:
         return json.dumps({
             "id": s.sid, "name": s.name, "total": len(hist),
             "converged": s.converged(),
+            "cfg": dict(s.cfg),     # runtime config (session-view parity)
             "best": {"point": best_vals, "perf": best_perf},
             "trials": [[t, list(q), (None if p != p or p == float("inf")
                                      else p)]

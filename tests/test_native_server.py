@@ -135,3 +135,15 @@ def test_native_query_inform_cfg(native_server):
         assert c.generate() is None
         c.inform("PAUSED", None)
         assert c.generate() is not None
+
+
+def test_native_session_api_exposes_cfg(native_server):
+    with ServiceClient("127.0.0.1", native_server) as c:
+        c.create_session([("x", list(range(5)))], strategy="random",
+                         name="cfgview")
+        c.inform("PREFETCH_COUNT", 2)
+        j = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{native_server}/api/session/1",
+            timeout=5).read())
+        assert j["cfg"]["PREFETCH_COUNT"] == "2"
+        assert j["cfg"]["SESSION_STRATEGY"] == "random"

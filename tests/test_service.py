@@ -162,3 +162,15 @@ def test_cfg_seeded_at_create(server):
                   + "\n").encode())
         fh.flush()
         assert json.loads(fh.readline())["value"] == "1.5"
+
+
+def test_session_api_exposes_cfg(server):
+    with ServiceClient(server.host, server.port) as c:
+        c.create_session([("x", list(range(5)))], strategy="random",
+                         name="cfgview")
+        c.inform("PREFETCH_COUNT", 2)
+        base = f"http://{server.host}:{server.port}"
+        j = json.loads(urllib.request.urlopen(
+            base + "/api/session/1", timeout=10).read())
+        assert j["cfg"]["PREFETCH_COUNT"] == "2"
+        assert j["cfg"]["SESSION_STRATEGY"] == "random"
