@@ -44,6 +44,94 @@ using offt_tune::Engine;
 // minimal JSON helpers for our flat message shape (no external deps)
 // ---------------------------------------------------------------------
 
+// Parse the JSON string literal whose opening '"' is at s[pos]; handles
+// backslash escapes (\" \\ \/ \b \f \n \r \t \uXXXX) so values produced
+// by json.dumps round-trip identically to the Python server. On success
+// *out holds the unescaped text and *end_out the index one past the
+// closing quote.
+bool json_parse_string(const std::string& s, size_t pos, std::string* out,
+                       size_t* end_out = nullptr) {
+  if (pos >= s.size() || s[pos] != '"') return false;
+  std::string val;
+  size_t i = pos + 1;
+  while (i < s.size()) {
+    char c = s[i];
+    if (c == '"') {
+      *out = std::move(val);
+      if (end_out) *end_out = i + 1;
+      return true;
+    }
+    if (c != '\\') {
+      val += c;
+      ++i;
+      continue;
+    }
+    if (i + 1 >= s.size()) return false;  // dangling backslash
+    char e = s[i + 1];
+    switch (e) {
+      case '"': val += '"'; i += 2; break;
+      case '\\': val += '\\'; i += 2; break;
+      case '/': val += '/'; i += 2; break;
+      case 'b': val += '\b'; i += 2; break;
+      case 'f': val += '\f'; i += 2; break;
+      case 'n': val += '\n'; i += 2; break;
+      case 'r': val += '\r'; i += 2; break;
+      case 't': val += '\t'; i += 2; break;
+      case 'u': {
+        if (i + 6 > s.size()) return false;
+        unsigned cp = 0;
+        for (int k = 0; k < 4; ++k) {
+          char h = s[i + 2 + k];
+          cp <<= 4;
+          if (h >= '0' && h <= '9') cp |= (unsigned)(h - '0');
+          else if (h >= 'a' && h <= 'f') cp |= (unsigned)(h - 'a' + 10);
+          else if (h >= 'A' && h <= 'F') cp |= (unsigned)(h - 'A' + 10);
+          else return false;
+        }
+        i += 6;
+        // surrogate pair -> one code point
+        if (cp >= 0xD800 && cp <= 0xDBFF && i + 6 <= s.size() &&
+            s[i] == '\\' && s[i + 1] == 'u') {
+          unsigned lo = 0;
+          bool ok = true;
+          for (int k = 0; k < 4; ++k) {
+            char h = s[i + 2 + k];
+            lo <<= 4;
+            if (h >= '0' && h <= '9') lo |= (unsigned)(h - '0');
+            else if (h >= 'a' && h <= 'f') lo |= (unsigned)(h - 'a' + 10);
+            else if (h >= 'A' && h <= 'F') lo |= (unsigned)(h - 'A' + 10);
+            else { ok = false; break; }
+          }
+          if (ok && lo >= 0xDC00 && lo <= 0xDFFF) {
+            cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
+            i += 6;
+          }
+        }
+        // UTF-8 encode
+        if (cp < 0x80) {
+          val += (char)cp;
+        } else if (cp < 0x800) {
+          val += (char)(0xC0 | (cp >> 6));
+          val += (char)(0x80 | (cp & 0x3F));
+        } else if (cp < 0x10000) {
+          val += (char)(0xE0 | (cp >> 12));
+          val += (char)(0x80 | ((cp >> 6) & 0x3F));
+          val += (char)(0x80 | (cp & 0x3F));
+        } else {
+          val += (char)(0xF0 | (cp >> 18));
+          val += (char)(0x80 | ((cp >> 12) & 0x3F));
+          val += (char)(0x80 | ((cp >> 6) & 0x3F));
+          val += (char)(0x80 | (cp & 0x3F));
+        }
+        break;
+      }
+      default:
+        return false;  // invalid escape
+    }
+  }
+  return false;  // unterminated
+}
+
 std::string json_get_string(const std::string& s, const std::string& key) {
   auto pos = s.find("\"" + key + "\"");
   if (pos == std::string::npos) return "";
@@ -51,10 +139,9 @@ std::string json_get_string(const std::string& s, const std::string& key) {
   if (pos == std::string::npos) return "";
   ++pos;
   while (pos < s.size() && std::isspace((unsigned char)s[pos])) ++pos;
-  if (pos >= s.size() || s[pos] != '"') return "";
-  auto end = s.find('"', pos + 1);
-  if (end == std::string::npos) return "";
-  return s.substr(pos + 1, end - pos - 1);
+  std::string out;
+  if (!json_parse_string(s, pos, &out)) return "";
+  return out;
 }
 
 // like json_get_string, but distinguishes a present string value from an
@@ -69,11 +156,41 @@ bool json_get_string_opt(const std::string& s, const std::string& key,
   if (pos == std::string::npos) return false;
   ++pos;
   while (pos < s.size() && std::isspace((unsigned char)s[pos])) ++pos;
-  if (pos >= s.size() || s[pos] != '"') return false;  // null / non-string
-  auto end = s.find('"', pos + 1);
-  if (end == std::string::npos) return false;
-  *out = s.substr(pos + 1, end - pos - 1);
-  return true;
+  return json_parse_string(s, pos, out);  // false on null / non-string
+}
+
+// Parse the flat string->string object at "<key>": {...} (the session
+// descriptor's "cfg" field — Session(..., cfg=...) parity with the
+// Python server). Values must be JSON strings, as ServiceClient sends.
+bool json_get_string_map(const std::string& s, const std::string& key,
+                         std::vector<std::pair<std::string, std::string>>* out) {
+  auto pos = s.find("\"" + key + "\"");
+  if (pos == std::string::npos) return false;
+  pos = s.find(':', pos);
+  if (pos == std::string::npos) return false;
+  ++pos;
+  while (pos < s.size() && std::isspace((unsigned char)s[pos])) ++pos;
+  if (pos >= s.size() || s[pos] != '{') return false;
+  ++pos;
+  out->clear();
+  while (pos < s.size()) {
+    while (pos < s.size() &&
+           (std::isspace((unsigned char)s[pos]) || s[pos] == ','))
+      ++pos;
+    if (pos < s.size() && s[pos] == '}') return true;
+    std::string k, v;
+    size_t after = 0;
+    if (!json_parse_string(s, pos, &k, &after)) return false;
+    pos = after;
+    while (pos < s.size() && std::isspace((unsigned char)s[pos])) ++pos;
+    if (pos >= s.size() || s[pos] != ':') return false;
+    ++pos;
+    while (pos < s.size() && std::isspace((unsigned char)s[pos])) ++pos;
+    if (!json_parse_string(s, pos, &v, &after)) return false;
+    pos = after;
+    out->emplace_back(std::move(k), std::move(v));
+  }
+  return false;  // unterminated object
 }
 
 bool json_get_number(const std::string& s, const std::string& key,
@@ -295,6 +412,11 @@ class Server {
                                               (unsigned)seed, 0, nullptr);
       sess->cfg["SESSION_STRATEGY"] = strat;
       sess->cfg["RANDOM_SEED"] = std::to_string((long)seed);
+      // seed runtime config from the session descriptor (Python-server
+      // parity: Session(..., cfg=msg.get("cfg")))
+      std::vector<std::pair<std::string, std::string>> seeded;
+      if (json_get_string_map(msg, "cfg", &seeded))
+        for (auto& kv : seeded) sess->cfg[kv.first] = kv.second;
       int sid = sess->id;
       sessions_[sid] = std::move(sess);
       // bound total retained sessions: evict oldest detached ones first
@@ -318,13 +440,15 @@ class Server {
       return R"({"status": "FAIL", "error": "no such session"})";
     std::lock_guard<std::mutex> lk(sess->mu);
     if (op == "fetch") {
+      // "reason" distinguishes a temporary operator pause (client
+      // retries) from strategy exhaustion (final) — Python-server parity
       auto paused = sess->cfg.find("PAUSED");
       if (paused != sess->cfg.end() && !paused->second.empty() &&
           paused->second != "0")
-        return R"({"status": "BUSY"})";
+        return R"({"status": "BUSY", "reason": "paused"})";
       std::vector<int> pt(sess->ndims);
       if (!sess->engine->generate(pt.data()))
-        return R"({"status": "BUSY"})";
+        return R"({"status": "BUSY", "reason": "exhausted"})";
       return "{\"status\": \"OK\", \"point\": " + int_array_json(pt) +
              ", \"values\": " + int_array_json(pt) + "}";
     }

@@ -136,6 +136,14 @@ def main(argv=None):
             print(json.dumps({"algo": "jaxdecomp", "shape": list(shape),
                               "error": "jaxdecomp not installed"}))
             return 2
+        if ns.r2c or ns.inverse:
+            # reject unsupported modes BEFORE tuning/device work, and keep
+            # the one-JSON-line CLI contract even on the error path
+            print("# jaxdecomp baseline wired for c2c forward only",
+                  file=sys.stderr)
+            print(json.dumps({"algo": "jaxdecomp", "shape": list(shape),
+                              "error": "c2c forward only"}))
+            return 2
 
     mesh = None
     if ns.mesh or ns.p1 or ns.p2:
@@ -218,10 +226,6 @@ def main(argv=None):
     elif ns.algo == "jaxdecomp":
         import jax.numpy as jnp
         import jaxdecomp
-        if ns.r2c or ns.inverse:
-            print("# jaxdecomp baseline wired for c2c forward only",
-                  file=sys.stderr)
-            return 2
         im = jax.device_put(rng.standard_normal(shape).astype(np.float32))
 
         @jax.jit

@@ -52,7 +52,8 @@ def axis_fft(c, axis: int, inverse: bool, radices, params: PlanParams):
         return pallas_fft.fft_1d_complex(c, axis=axis, inverse=inverse,
                                          radices=radices,
                                          precision=params.precision,
-                                         block=params.block_batch)
+                                         block=params.block_batch,
+                                         x_tile=params.x_tile)
     return fft_1d(c, axis=axis, inverse=inverse, radices=radices,
                   precision=params.precision)
 

@@ -869,15 +869,30 @@ def can_use_pallas(n: int, radices=None) -> bool:
     return _pick_stages(n, radices) is not None
 
 
+def bank_conflict_stride(ny: int, nz: int) -> bool:
+    """True when the f32 x-axis row stride (ny*nz*4 bytes) serializes HBM
+    channels: any stride DIVISIBLE by 2^16 bytes, not just exact powers
+    of two (768^2*4 = 2^18*9 measured the same ~2x wall as pow2 until
+    rerouted). The single gate shared by fft3d_planar's fused path and
+    fft_1d_planar's standalone x dispatch."""
+    return (ny * nz * 4) % (1 << 16) == 0
+
+
 def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
                   radices=None, scale: bool = True,
                   precision: str = DEFAULT_PRECISION, block: int = 0,
-                  out_scale: float = 1.0, alias: bool = False):
+                  out_scale: float = 1.0, alias: bool = False,
+                  x_tile=None):
     """Planar 1-D FFT along ``axis`` (numpy fft/ifft semantics).
 
     The inverse 1/N normalization — and any extra ``out_scale`` (norm
     conventions, see fft3d_planar) — is folded into the kernel's twiddle
-    tables: zero extra HBM passes."""
+    tables: zero extra HBM passes.
+
+    ``x_tile`` sets the pitched-read kernel's (ty, tz) block when the
+    padded-x route fires (a 3rd-from-last axis with a bank-conflicting
+    row stride); ``block`` tiles the last/sublane kernels — the two knobs
+    tune whichever kernel the axis dispatches to."""
     axis = axis % xr.ndim
     n = xr.shape[axis]
     knob = out_scale * ((1.0 / n) if (inverse and scale) else 1.0)
@@ -891,7 +906,7 @@ def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
                           precision=precision, block_rows=block, scale=knob,
                           alias=alias)
     elif (axis == xr.ndim - 3 and not alias
-          and (xr.shape[-2] * xr.shape[-1] * 4) % (1 << 16) == 0
+          and bank_conflict_stride(xr.shape[-2], xr.shape[-1])
           and can_use_padded_x(n, xr.shape[-2], xr.shape[-1], radices)):
         # bank-conflicting x row stride (divisible by 2^16 bytes — HBM
         # channel serialization, see the fft3d_planar gate): pay one
@@ -902,10 +917,11 @@ def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
         # reference's phase-2 FFTx hot kernel) and the unfused path's.
         padw = [(0, 0)] * xr.ndim
         padw[-1] = (0, _STRIDE_PAD)
+        ty, tz = x_tile or (8, 128)
         yr, yi = fft_x_from_padded(jnp.pad(xr, padw), jnp.pad(xi, padw),
                                    xr.shape[-1], inverse=inverse,
                                    radices=radices, precision=precision,
-                                   scale=knob)
+                                   scale=knob, ty=ty, tz=tz)
     else:
         yr, yi = fft_sublane(xr, xi, axis, inverse=inverse, radices=radices,
                              precision=precision, block_lanes=block,
@@ -1079,10 +1095,9 @@ def fft3d_planar(xr, xi, inverse: bool = False,
             xr, xi = fft_1d_planar(xr, xi, az, radices=rad_z, **kw)
             return fft_1d_planar(xr, xi, ay, radices=rad_y,
                                  out_scale=out_scale, **kw)
-        row_stride = ny * nz * 4
         use_padded_x = (nx_ > 1 and fuse
                         and can_use_padded_x(nx_, ny, nz, rad_x)
-                        and row_stride % (1 << 16) == 0)
+                        and bank_conflict_stride(ny, nz))
         if use_padded_x:
             xr, xi = fft_slab_yz(xr, xi, rad_y=rad_y, rad_z=rad_z,
                                  precision=precision, zpad=_STRIDE_PAD,
@@ -1098,17 +1113,16 @@ def fft3d_planar(xr, xi, inverse: bool = False,
             xr, xi = fft_1d_planar(xr, xi, az, radices=rad_z, **kw)
             xr, xi = fft_1d_planar(xr, xi, ay, radices=rad_y, **kw)
         xr, xi = fft_1d_planar(xr, xi, ax, radices=rad_x,
-                               out_scale=out_scale, **kw)
+                               out_scale=out_scale, x_tile=x_tile, **kw)
         return xr, xi
     nx_ = xr.shape[ax]
     if nx_ == 1:
         xr, xi = fft_1d_planar(xr, xi, ay, inverse=True, radices=rad_y, **kw)
         return fft_1d_planar(xr, xi, az, inverse=True, radices=rad_z,
                              out_scale=out_scale, **kw)
-    row_stride = ny * nz * 4
     use_padded_x = (nx_ > 1 and fuse
                     and can_use_padded_x(nx_, ny, nz, rad_x)
-                    and row_stride % (1 << 16) == 0)
+                    and bank_conflict_stride(ny, nz))
     if use_padded_x:
         # the three axis transforms commute, so the inverse reuses the
         # FORWARD order (slab -> padded intermediate -> pitched x) with
@@ -1125,7 +1139,8 @@ def fft3d_planar(xr, xi, inverse: bool = False,
                                  precision=precision,
                                  scale=out_scale / (nx_ * ny * nz),
                                  ty=ty, tz=tz)
-    xr, xi = fft_1d_planar(xr, xi, ax, inverse=True, radices=rad_x, **kw)
+    xr, xi = fft_1d_planar(xr, xi, ax, inverse=True, radices=rad_x,
+                           x_tile=x_tile, **kw)
     if fuse:
         return fft_slab_yz(xr, xi, inverse=True, rad_y=rad_y,
                            rad_z=rad_z, precision=precision,
@@ -1138,12 +1153,12 @@ def fft3d_planar(xr, xi, inverse: bool = False,
 
 def fft_1d_complex(x, axis: int = -1, inverse: bool = False, radices=None,
                    scale: bool = True, precision: str = DEFAULT_PRECISION,
-                   block: int = 0):
+                   block: int = 0, x_tile=None):
     """Complex-array wrapper over the planar kernels (for call sites that
     carry complex64 values inside jit, e.g. the distributed pipeline)."""
     yr, yi = fft_1d_planar(jnp.real(x), jnp.imag(x), axis=axis,
                            inverse=inverse, radices=radices, scale=scale,
-                           precision=precision, block=block)
+                           precision=precision, block=block, x_tile=x_tile)
     return jax.lax.complex(yr, yi)
 
 

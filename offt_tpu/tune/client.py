@@ -15,16 +15,21 @@ from __future__ import annotations
 
 import json
 import socket
+import time
 from typing import Optional
 
 
 class ServiceClient:
     def __init__(self, host: str = "127.0.0.1", port: int = 1979,
-                 timeout: float = 30.0):
+                 timeout: float = 30.0, pause_poll_s: float = 0.5):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._fh = self._sock.makefile("rwb")
         self.session: Optional[int] = None
         self._last_point = None
+        # retry interval while the session is operator-PAUSED (fetch
+        # returns BUSY/paused); a pause is temporary by contract, so
+        # generate() blocks through it instead of ending the search
+        self.pause_poll_s = pause_poll_s
 
     def _rpc(self, **msg) -> dict:
         self._fh.write((json.dumps(msg) + "\n").encode())
@@ -51,9 +56,14 @@ class ServiceClient:
 
     # ---- Strategy protocol (generate/analyze/rejected/best/converged) ---
     def generate(self):
-        reply = self._rpc(op="fetch", session=self.session)
-        if reply.get("status") == "BUSY":
-            return None
+        while True:
+            reply = self._rpc(op="fetch", session=self.session)
+            if reply.get("status") != "BUSY":
+                break
+            if reply.get("reason") == "paused":
+                time.sleep(self.pause_poll_s)  # temporary: wait it out
+                continue
+            return None  # exhausted (or a legacy server): search is over
         self._last_point = tuple(reply["point"])
         return self._last_point
 

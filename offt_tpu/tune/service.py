@@ -65,14 +65,18 @@ class Session:
         if cfg:
             self.cfg.update({str(k): str(v) for k, v in cfg.items()})
 
-    def fetch(self) -> Optional[tuple]:
+    def fetch(self) -> tuple[Optional[tuple], str]:
+        """Returns (point, reason). point=None with reason "paused"
+        (operator set PAUSED — temporary, clients should retry) or
+        "exhausted" (the strategy has no more fresh points — final)."""
         with self.lock:
             if self.cfg.get("PAUSED") not in (None, "", "0"):
-                return None
+                return None, "paused"
             pt = self.strategy.generate()
-            if pt is not None:
-                self.outstanding.add(tuple(pt))
-            return pt
+            if pt is None:
+                return None, "exhausted"
+            self.outstanding.add(tuple(pt))
+            return pt, ""
 
     def getcfg(self, key: str) -> Optional[str]:
         with self.lock:
@@ -187,9 +191,12 @@ class TuningServer:
         if sess is None:
             return {"status": "FAIL", "error": f"no session {sid}"}
         if op == "fetch":
-            pt = sess.fetch()
+            pt, reason = sess.fetch()
             if pt is None:
-                return {"status": "BUSY"}  # hclient BUSY -> reuse best
+                # hclient BUSY convention -> reuse best; "reason" lets the
+                # client distinguish a temporary operator pause (retry)
+                # from strategy exhaustion (stop)
+                return {"status": "BUSY", "reason": reason}
             return {"status": "OK", "point": list(pt),
                     "values": list(sess.space.to_params(pt))}
         if op == "report":
@@ -283,13 +290,14 @@ class TuningServer:
         s = self.sessions[sid]
         with s.lock:
             hist = list(s.history)
+            cfg = dict(s.cfg)  # copy under the lock: setcfg mutates it
         best_vals, best_perf = s.best()
         if best_perf == float("inf"):
             best_perf = None
         return json.dumps({
             "id": s.sid, "name": s.name, "total": len(hist),
             "converged": s.converged(),
-            "cfg": dict(s.cfg),     # runtime config (session-view parity)
+            "cfg": cfg,             # runtime config (session-view parity)
             "best": {"point": best_vals, "perf": best_perf},
             "trials": [[t, list(q), (None if p != p or p == float("inf")
                                      else p)]

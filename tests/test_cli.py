@@ -117,3 +117,34 @@ def test_runfft_r2c_packed():
 def test_runfft_c2r_inverse():
     out = run_cli(["bench", "-N", "16", "-a", "offt", "-R", "-i", "-r", "1"])
     assert out.returncode == 0, out.stderr[-800:]
+
+
+def test_runfft_jaxdecomp_not_installed():
+    """The third-party-baseline flag degrades to a machine-readable JSON
+    error line in environments without jaxdecomp (zero-egress image)."""
+    out = run_cli(["bench", "-N", "16", "-a", "jaxdecomp", "-r", "1"])
+    assert out.returncode == 2
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["algo"] == "jaxdecomp" and "not installed" in rec["error"]
+
+
+def test_runfft_jaxdecomp_mode_rejected_early():
+    """Unsupported jaxdecomp modes (r2c/inverse) are rejected BEFORE any
+    tuning or device work, still emitting the one-JSON-line contract."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys, types; sys.modules['jaxdecomp'] = "
+        "types.ModuleType('jaxdecomp');"   # satisfy the import gate only
+        "sys.argv = ['prog', '-N', '16', '-a', 'jaxdecomp', '-R',"
+        " '-r', '1'];"
+        "from offt_tpu.bench.runfft import main;"
+        "raise SystemExit(main())"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=str(REPO), env=env, timeout=110)
+    assert out.returncode == 2, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["error"] == "c2c forward only"
+    assert "c2c forward only" in out.stderr

@@ -132,9 +132,67 @@ def test_native_query_inform_cfg(native_server):
         assert c.query("PREFETCH_COUNT") is None
         assert c.query("STRATEGY_CONVERGED") in ("0", "1")
         c.inform("PAUSED", 1)
-        assert c.generate() is None
+        r = c._rpc(op="fetch", session=c.session)
+        assert r["status"] == "BUSY" and r["reason"] == "paused"
         c.inform("PAUSED", None)
         assert c.generate() is not None
+
+
+def test_native_pause_resumes_search(native_server):
+    """Python-server parity: a pause suspends generate() without ending
+    the search."""
+    import threading
+    import time as _time
+
+    with ServiceClient("127.0.0.1", native_server,
+                       pause_poll_s=0.05) as c:
+        sid = c.create_session([("x", list(range(10)))], strategy="random",
+                               name="pause-native")
+        with ServiceClient("127.0.0.1", native_server) as admin:
+            admin.join(sid)
+            admin.inform("PAUSED", 1)
+            got = []
+            th = threading.Thread(target=lambda: got.append(c.generate()),
+                                  daemon=True)
+            th.start()
+            _time.sleep(0.3)
+            assert got == []
+            admin.inform("PAUSED", None)
+            th.join(5.0)
+            assert got and got[0] is not None
+
+
+def test_native_cfg_seeded_at_create(native_server):
+    """The session descriptor's cfg dict seeds runtime config (Python-
+    server parity: Session(..., cfg=msg.get('cfg')))."""
+    import socket
+
+    with socket.create_connection(("127.0.0.1", native_server), 5) as s:
+        fh = s.makefile("rwb")
+        fh.write((json.dumps({
+            "op": "session", "name": "seeded-native",
+            "dims": [{"name": "x", "values": [0, 1, 2]}],
+            "strategy": "random",
+            "cfg": {"NM_REFLECT_COEFFICIENT": "1.5"}}) + "\n").encode())
+        fh.flush()
+        sid = json.loads(fh.readline())["session"]
+        fh.write((json.dumps({"op": "getcfg", "session": sid,
+                              "key": "NM_REFLECT_COEFFICIENT"})
+                  + "\n").encode())
+        fh.flush()
+        assert json.loads(fh.readline())["value"] == "1.5"
+
+
+def test_native_cfg_value_escaping(native_server):
+    """Escaped JSON strings (quotes, backslashes, \\uXXXX non-ASCII)
+    round-trip through the native server identically to the Python one."""
+    with ServiceClient("127.0.0.1", native_server) as c:
+        c.create_session([("x", list(range(3)))], strategy="random",
+                         name="esc-native")
+        assert c.inform("NOTE", 'say "hi"\\done') is None
+        assert c.query("NOTE") == 'say "hi"\\done'
+        c.inform("UNI", "µ-tab\tend")
+        assert c.query("UNI") == "µ-tab\tend"
 
 
 def test_native_session_api_exposes_cfg(native_server):

@@ -363,3 +363,14 @@ def test_padded_x_1d_route_batched():
     yr, yi = pf.fft_1d_planar(x.real.copy(), x.imag.copy(), axis=1)
     want = np.fft.fft(x.astype(np.complex128), axis=1)
     assert rel_err(np.asarray(yr) + 1j * np.asarray(yi), want) < 1e-5
+
+
+def test_padded_x_1d_route_x_tile():
+    """The x_tile knob reaches fft_1d_planar's padded-x branch (the
+    tuner's x_tile dimension must change the executable it measures, not
+    silently no-op on the distributed local-x stage)."""
+    x = rand_c64((16, 32, 512), seed=93)
+    yr, yi = pf.fft_1d_planar(x.real.copy(), x.imag.copy(), axis=0,
+                              x_tile=(16, 128))
+    want = np.fft.fft(x.astype(np.complex128), axis=0)
+    assert rel_err(np.asarray(yr) + 1j * np.asarray(yi), want) < 1e-5

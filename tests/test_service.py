@@ -137,11 +137,49 @@ def test_query_inform_cfg(server):
         assert c.query("PREFETCH_COUNT") is None
         # live key: STRATEGY_CONVERGED reflects strategy state
         assert c.query("STRATEGY_CONVERGED") in ("0", "1")
-        # live key: PAUSED makes fetch return BUSY (-> generate None)
+        # live key: PAUSED makes fetch return BUSY with reason "paused"
+        # (temporary — distinct from strategy exhaustion, which is final)
         c.inform("PAUSED", 1)
-        assert c.generate() is None
+        r = c._rpc(op="fetch", session=c.session)
+        assert r["status"] == "BUSY" and r["reason"] == "paused"
         c.inform("PAUSED", None)
         assert c.generate() is not None
+
+
+def test_pause_resumes_search(server):
+    """PAUSED must suspend, not end, the search: generate() blocks through
+    the pause and returns a fresh point once it is lifted (a Tuner driving
+    this client must survive an operator pause)."""
+    import threading
+    import time as _time
+
+    with ServiceClient(server.host, server.port, pause_poll_s=0.05) as c:
+        sid = c.create_session([("x", list(range(10)))], strategy="random",
+                               name="pause")
+        with ServiceClient(server.host, server.port) as admin:
+            admin.join(sid)
+            admin.inform("PAUSED", 1)
+            got = []
+            th = threading.Thread(target=lambda: got.append(c.generate()),
+                                  daemon=True)
+            th.start()
+            _time.sleep(0.3)
+            assert got == []            # still paused -> still waiting
+            admin.inform("PAUSED", None)
+            th.join(5.0)
+            assert got and got[0] is not None
+
+
+def test_cfg_value_escaping(server):
+    """Config values with quotes/backslashes/non-ASCII round-trip
+    unchanged (json.dumps escapes them on the wire)."""
+    with ServiceClient(server.host, server.port) as c:
+        c.create_session([("x", list(range(3)))], strategy="random",
+                         name="esc")
+        assert c.inform("NOTE", 'say "hi"\\done') is None
+        assert c.query("NOTE") == 'say "hi"\\done'
+        c.inform("UNI", "µ-tab\tend")
+        assert c.query("UNI") == "µ-tab\tend"
 
 
 def test_cfg_seeded_at_create(server):
