@@ -59,6 +59,16 @@ def _vmem_params(est_bytes: int) -> dict:
     A fixed 2 MiB of headroom covers what the block-size formulas don't
     model (constant tables, Mosaic stack temps) — a 512^3 tuning trial
     OOM'd the scoped limit by exactly its 46 KiB of radix tables."""
+    if _stack6_presplit():
+        # The stage-wide operand pre-split keeps 6 bf16 copies of the
+        # block live alongside the f32 planes (~1.3x scoped usage,
+        # measured: 18.22M vs the 16M default at a 128-block, 22.76M vs
+        # 19.75M at a 256-block). Scale the estimate and never fall back
+        # to the Mosaic default.
+        est_bytes = int(est_bytes * 1.5)
+        return {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                min(max(est_bytes + (2 << 20), 24 << 20), _VMEM_CAP)))}
     if est_bytes <= _VMEM_DEFAULT:
         return {}
     return {"compiler_params": pltpu.CompilerParams(
@@ -825,17 +835,30 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
     rad = _pick_stages(n, radices, stacked=precision == "stack6")
     if rad is None:
         raise ValueError(f"N={n} not expressible as a Pallas kernel")
+    # VMEM budget: 4 planar arrays (in+out) are double-buffered across grid
+    # steps plus ~2 block-sized intermediates -> keep n*tl*4B around 1 MiB
+    # (n=512, tl=1024 measured 21.4M scoped vmem > the 16M limit)
+    tl_target = block_lanes or max(128, min(1024,
+                                            ((1 << 18) // max(n, 1)) & ~127))
+    if axis < xr.ndim - 2:
+        # Direct n-D route. Flattening the trailing dims into one lane
+        # axis at the HOST is NOT a layout bitcast under TPU tiling (the
+        # lane dim changes), so XLA materializes a full copy of each
+        # plane: measured a 64 MB temp (= one plane) on a (512,256,128)
+        # x pass and an 8 GiB temp that OOM'd the in-place 1024^3 chain.
+        # Reshapes that KEEP the last dim are free — view as
+        # (B, n, MID, last) and block it like the pitched x kernel.
+        mid = int(np.prod(xr.shape[axis + 1:-1]))
+        tiles = _sublane_nd_tiles(n, mid, xr.shape[-1], tl_target)
+        if tiles is not None:
+            return _sublane_nd(xr, xi, axis, n, rad, inverse, precision,
+                               scale, alias, tiles)
     pre = int(np.prod(xr.shape[:axis])) if axis else 1
     lanes = int(np.prod(xr.shape[axis + 1:]))
     shape3 = (pre, n, lanes)
     xr3 = xr.reshape(shape3)
     xi3 = xi.reshape(shape3)
-    # VMEM budget: 4 planar arrays (in+out) are double-buffered across grid
-    # steps plus ~2 block-sized intermediates -> keep n*tl*4B around 1 MiB
-    # (n=512, tl=1024 measured 21.4M scoped vmem > the 16M limit)
-    tl = _pick_lane_tile(
-        lanes, block_lanes or max(128, min(1024,
-                                           ((1 << 18) // max(n, 1)) & ~127)))
+    tl = _pick_lane_tile(lanes, tl_target)
     consts = [jnp.asarray(c) for c in
               _core_tables(n, rad, inverse, scale,
                            stacked=precision == "stack6")]
@@ -858,6 +881,64 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
         **({"input_output_aliases": {0: 0, 1: 1}} if alias else {}),
         **_vmem_params(12 * n * tl * 4),
     )(xr3, xi3, *consts)
+    return yr.reshape(xr.shape), yi.reshape(xr.shape)
+
+
+def _sublane_nd_tiles(n, mid, last, tl_target):
+    """Legal (ty, tz) block tile for the direct n-D sublane route, or
+    None to fall back to the flattened-lanes path. Mosaic block rules:
+    tz must be a multiple of 128 or the full last extent; ty a multiple
+    of 8 or the full mid extent — and the in-kernel (ty, tz) -> lanes
+    merge additionally needs an aligned tz whenever ty > 1."""
+    tz = _pick_lane_tile(last, min(tl_target, last))
+    if tz % 128:
+        return (1, tz) if mid == 1 else None
+    want = max(8, (tl_target // tz) & ~7)
+    ty = max((c for c in range(8, min(mid, want) + 1, 8) if mid % c == 0),
+             default=0)
+    if not ty:
+        # full-extent mid (legal at any size) if the block still fits vmem
+        if 12 * n * mid * tz * 4 <= _VMEM_CAP:
+            ty = mid
+        else:
+            return None
+    return (ty, tz)
+
+
+def _sublane_nd(xr, xi, axis, n, rad, inverse, precision, scale, alias,
+                tiles):
+    """fft_sublane's 3rd-from-last-and-deeper route: (1, n, ty, tz)
+    blocks over a (B, n, MID, last) view — every host reshape keeps the
+    last dim, so none materializes. The kernel merges (ty, tz) into
+    lanes in VMEM (the proven _x_strided_kernel pattern)."""
+    b = int(np.prod(xr.shape[:axis])) if axis else 1
+    mid = int(np.prod(xr.shape[axis + 1:-1]))
+    last = xr.shape[-1]
+    ty, tz = tiles
+    consts = [jnp.asarray(c) for c in
+              _core_tables(n, rad, inverse, scale,
+                           stacked=precision == "stack6")]
+    kernel = functools.partial(_x_strided_kernel, radices=rad,
+                               precision=precision, inverse=inverse)
+    shape4 = (b, n, mid, last)
+    xr4 = xr.reshape(shape4)
+    xi4 = xi.reshape(shape4)
+    blk = pl.BlockSpec((1, n, ty, tz), lambda i, j, k: (i, 0, j, k),
+                       memory_space=pltpu.VMEM)
+    const_spec = [pl.BlockSpec(c.shape, lambda i, j, k, c=c: (0,) * c.ndim,
+                               memory_space=pltpu.VMEM) for c in consts]
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(b, mid // ty, last // tz),
+        in_specs=[blk, blk] + const_spec,
+        out_specs=(blk, blk),
+        out_shape=(jax.ShapeDtypeStruct(shape4, jnp.float32),
+                   jax.ShapeDtypeStruct(shape4, jnp.float32)),
+        interpret=_interpret(),
+        **({"input_output_aliases": {0: 0, 1: 1}} if alias else {}),
+        **_vmem_params(12 * n * ty * tz * 4
+                       + sum(c.nbytes for c in consts)),
+    )(xr4, xi4, *consts)
     return yr.reshape(xr.shape), yi.reshape(xr.shape)
 
 
