@@ -28,6 +28,7 @@ shape knobs (rows/lanes per block).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -76,13 +77,18 @@ def _vmem_params(est_bytes: int) -> dict:
 
 
 def _interpret() -> bool:
+    # OFFT_FORCE_MOSAIC=1: emit real Mosaic kernels even on a CPU host —
+    # for AOT compiles against a TPU topology (tests/test_memlayout_tpu
+    # measures the TRUE custom-call layout behavior; interpret-mode
+    # lowering legally fuses away the relayouts those tests pin down)
+    if os.environ.get("OFFT_FORCE_MOSAIC", "0") == "1":
+        return False
     return jax.default_backend() != "tpu"
 
 
 def _stack6_presplit() -> bool:
     """A/B switch for the stage-wide operand pre-split (read at trace
     time; see _sublane_core_vpu)."""
-    import os
     return os.environ.get("OFFT_STACK6_PRESPLIT", "0") == "1"
 
 
