@@ -738,6 +738,22 @@ def _last_kernel(*refs, radices: tuple, precision: str = DEFAULT_PRECISION,
     oi_ref[:] = yi.T
 
 
+def _f32_trace(fn):
+    """Public-entry decorator: trace with x64 promotion OFF. Every kernel
+    in this module is f32/bf16 planar by design, and a gridded
+    pallas_call does not legalize under ``jax_enable_x64`` (probed:
+    Mosaic 'func.return' error on ANY gridded kernel — a JAX limitation,
+    not shape-specific). The traced program is identical to an x64-off
+    session's; without this an x64-enabled user session crashes with an
+    opaque internal error on every Pallas-path plan."""
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        with jax.enable_x64(False):
+            return fn(*a, **kw)
+    return wrapped
+
+
+@_f32_trace
 def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
              radices=None, block_rows: int = 0,
              precision: str = DEFAULT_PRECISION, scale: float = 1.0,
@@ -818,6 +834,7 @@ def _sublane_kernel(*refs, radices: tuple,
     oi_ref[0] = yi
 
 
+@_f32_trace
 def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
                 inverse: bool = False, radices=None, block_lanes: int = 0,
                 precision: str = DEFAULT_PRECISION, scale: float = 1.0,
@@ -965,6 +982,7 @@ def bank_conflict_stride(ny: int, nz: int) -> bool:
     return (ny * nz * 4) % (1 << 16) == 0
 
 
+@_f32_trace
 def fft_1d_planar(xr, xi, axis: int = -1, inverse: bool = False,
                   radices=None, scale: bool = True,
                   precision: str = DEFAULT_PRECISION, block: int = 0,
@@ -1072,6 +1090,7 @@ def can_fuse_cube(nx: int, ny: int, nz: int,
             and _pick_stages(nz, rad_z, stacked=stk) is not None)
 
 
+@_f32_trace
 def fft3d_cube(xr: jax.Array, xi: jax.Array, inverse: bool = False,
                rad_z=None, rad_y=None, rad_x=None,
                precision: str = DEFAULT_PRECISION, out_scale: float = 1.0):
@@ -1116,6 +1135,7 @@ def fft3d_cube(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     return yr.reshape(shp), yi.reshape(shp)
 
 
+@_f32_trace
 def fft3d_planar(xr, xi, inverse: bool = False,
                  rad_z=None, rad_y=None, rad_x=None,
                  precision: str = DEFAULT_PRECISION, block: int = 0,
@@ -1238,6 +1258,7 @@ def fft3d_planar(xr, xi, inverse: bool = False,
     return xr, xi
 
 
+@_f32_trace
 def fft_1d_complex(x, axis: int = -1, inverse: bool = False, radices=None,
                    scale: bool = True, precision: str = DEFAULT_PRECISION,
                    block: int = 0, x_tile=None):
@@ -1317,6 +1338,7 @@ def can_fuse_slab(ny: int, nz: int, rad_y=None, rad_z=None) -> bool:
             and _pick_stages(nz, rad_z) is not None)
 
 
+@_f32_trace
 def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
                 rad_y=None, rad_z=None,
                 precision: str = DEFAULT_PRECISION, zpad: int = 0,
@@ -1421,6 +1443,7 @@ def can_use_padded_x(n: int, ny: int, nz: int, radices=None) -> bool:
             and _X_VMEM_BLOCKS * n * 8 * 128 * 4 <= _VMEM_CAP)
 
 
+@_f32_trace
 def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
                       radices=None, precision: str = DEFAULT_PRECISION,
                       scale: float = 1.0, out_lanes: int = 0,
@@ -1477,6 +1500,7 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
     return yr.reshape(out_shape), yi.reshape(out_shape)
 
 
+@_f32_trace
 def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
                     radices=None, precision: str = DEFAULT_PRECISION,
                     scale: float = 1.0, z_true: int = 0,
@@ -1587,6 +1611,7 @@ def can_use_rfft_last(n: int, radices=None) -> bool:
     return n % 2 == 0 and n >= 4 and _pick_2stage(n // 2, radices) is not None
 
 
+@_f32_trace
 def rfft_last_planar(x: jax.Array, radices=None,
                      precision: str = DEFAULT_PRECISION, block_rows: int = 0,
                      packed: bool = False):
@@ -1845,6 +1870,7 @@ def _rfft_slab_kernel(*refs, rm: tuple, ry: tuple, ncm: int,
         oi_ref[t] = yi
 
 
+@_f32_trace
 def rfft_slab_yz(x: jax.Array, rad_y=None, rad_z=None,
                  precision: str = DEFAULT_PRECISION, zpad: int = 0,
                  block_rows: int = 0):
@@ -1968,6 +1994,7 @@ def pack_rfft3d(yr, yi):
             jnp.concatenate([pi, yi[..., 1:m]], axis=-1))
 
 
+@_f32_trace
 def rfft3d_planar(x: jax.Array, rad_z=None, rad_y=None, rad_x=None,
                   precision: str = DEFAULT_PRECISION, slab_rows: int = 0,
                   packed: bool = False, x_tile=None):
@@ -2059,6 +2086,7 @@ def _crfft_slab_kernel(*refs, rm: tuple, ry: tuple, ncy: int, ncm: int,
     o_ref[:] = out.T.reshape(tb, ny, n)
 
 
+@_f32_trace
 def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
                   rad_z=None, precision: str = DEFAULT_PRECISION,
                   scale: float = 1.0, block_rows: int = 0,
@@ -2129,6 +2157,7 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
     return out.reshape(lead + (ny, n))
 
 
+@_f32_trace
 def irfft3d_planar(xr: jax.Array, xi: jax.Array, nz: int = 0,
                    rad_z=None, rad_y=None, rad_x=None,
                    precision: str = DEFAULT_PRECISION, slab_rows: int = 0,
@@ -2205,6 +2234,7 @@ def _icrfft_last_kernel(*refs, rm: tuple, ncm: int, precision: str,
     o_ref[:] = out.T
 
 
+@_f32_trace
 def icrfft_last_planar(xr: jax.Array, xi: jax.Array, n: int = 0,
                        radices=None, precision: str = DEFAULT_PRECISION,
                        scale: float = 0.0, block_rows: int = 0):

@@ -85,3 +85,30 @@ def test_in_place_chain_is_fully_aliased(tpu_dev):
     tmp = _temp_bytes(tpu_dev, lambda a, b: p._fn(a, b), avals,
                       donate=(0, 1))
     assert tmp < _TEMP_CAP, f"in-place chain materialized {tmp} temp bytes"
+
+
+def test_x64_session_still_compiles(tpu_dev):
+    """An x64-enabled user session must not crash Pallas-path plans:
+    gridded pallas_call does not legalize under jax_enable_x64 (a JAX
+    limitation), so every public kernel entry traces under
+    ``jax.enable_x64(False)`` (pallas_fft._f32_trace). This compiles a
+    c2c plan with the suite's x64 mode LEFT ON."""
+    import os
+
+    import offt_tpu
+    from offt_tpu.plan.params import PlanParams
+
+    assert jax.config.jax_enable_x64  # the suite runs x64-on
+    pp = PlanParams(use_pallas=1, precision="stack6")
+    p = offt_tpu.plan((128, 128, 128), "complex64", planar=True,
+                      use_cache=False, params=pp)
+    mesh = Mesh(np.array([tpu_dev]), ("d",))
+    sh = NamedSharding(mesh, P())
+    avals = (jax.ShapeDtypeStruct((128, 128, 128), jnp.float32),) * 2
+    os.environ["OFFT_FORCE_MOSAIC"] = "1"
+    try:
+        j = jax.jit(lambda a, b: p._fn(a, b), in_shardings=(sh, sh),
+                    out_shardings=sh)
+        j.lower(*avals).compile()  # raises without the f32-trace guard
+    finally:
+        os.environ.pop("OFFT_FORCE_MOSAIC", None)
