@@ -53,13 +53,22 @@ _VMEM_DEFAULT = 16 << 20
 _VMEM_CAP = 120 << 20
 
 
-def _vmem_params(est_bytes: int) -> dict:
-    """compiler_params kwargs raising the scoped-vmem limit when the
-    estimated working set exceeds the Mosaic default.
+def _vmem_params(est_bytes: int, grid_dims: int = 0) -> dict:
+    """compiler_params kwargs: scoped-vmem limit + grid semantics.
 
-    A fixed 2 MiB of headroom covers what the block-size formulas don't
-    model (constant tables, Mosaic stack temps) — a 512^3 tuning trial
-    OOM'd the scoped limit by exactly its 46 KiB of radix tables."""
+    Raises the scoped-vmem limit when the estimated working set exceeds
+    the Mosaic default; a fixed 2 MiB of headroom covers what the
+    block-size formulas don't model (constant tables, Mosaic stack
+    temps) — a 512^3 tuning trial OOM'd the scoped limit by exactly its
+    46 KiB of radix tables.
+
+    ``grid_dims``: every kernel in this module writes disjoint 1:1
+    blocks, so OFFT_DIMSEM=1 declares all grid dims "parallel" instead
+    of Mosaic's default arbitrary/sequential semantics (A/B queued in
+    run_round4b_hw.py; default stays off until the chip receipt)."""
+    cp = {}
+    if grid_dims and os.environ.get("OFFT_DIMSEM", "0") == "1":
+        cp["dimension_semantics"] = ("parallel",) * grid_dims
     if _stack6_presplit():
         # The stage-wide operand pre-split keeps 6 bf16 copies of the
         # block live alongside the f32 planes (~1.3x scoped usage,
@@ -67,13 +76,13 @@ def _vmem_params(est_bytes: int) -> dict:
         # 19.75M at a 256-block). Scale the estimate and never fall back
         # to the Mosaic default.
         est_bytes = int(est_bytes * 1.5)
-        return {"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=int(
-                min(max(est_bytes + (2 << 20), 24 << 20), _VMEM_CAP)))}
-    if est_bytes <= _VMEM_DEFAULT:
+        cp["vmem_limit_bytes"] = int(
+            min(max(est_bytes + (2 << 20), 24 << 20), _VMEM_CAP))
+    elif est_bytes > _VMEM_DEFAULT:
+        cp["vmem_limit_bytes"] = int(min(est_bytes + (2 << 20), _VMEM_CAP))
+    if not cp:
         return {}
-    return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=int(min(est_bytes + (2 << 20), _VMEM_CAP)))}
+    return {"compiler_params": pltpu.CompilerParams(**cp)}
 
 
 def _interpret() -> bool:
@@ -809,7 +818,7 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
         # without this the default 16M scoped limit rejects n >= 2048
         # at the default 512-row block (hit at 8x2048^2 2-D, r2)
         **_vmem_params(16 * tb * n * 4
-                       + sum(c.nbytes for c in consts) + (1 << 20)),
+                       + sum(c.nbytes for c in consts) + (1 << 20), grid_dims=1),
     )(xr2, xi2, *consts)
     if bp != b:
         yr = yr[:b]
@@ -902,7 +911,7 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
                    jax.ShapeDtypeStruct(shape3, jnp.float32)),
         interpret=_interpret(),
         **({"input_output_aliases": {0: 0, 1: 1}} if alias else {}),
-        **_vmem_params(12 * n * tl * 4),
+        **_vmem_params(12 * n * tl * 4, grid_dims=2),
     )(xr3, xi3, *consts)
     return yr.reshape(xr.shape), yi.reshape(xr.shape)
 
@@ -960,7 +969,7 @@ def _sublane_nd(xr, xi, axis, n, rad, inverse, precision, scale, alias,
         interpret=_interpret(),
         **({"input_output_aliases": {0: 0, 1: 1}} if alias else {}),
         **_vmem_params(12 * n * ty * tz * 4
-                       + sum(c.nbytes for c in consts)),
+                       + sum(c.nbytes for c in consts), grid_dims=3),
     )(xr4, xi4, *consts)
     return yr.reshape(xr.shape), yi.reshape(xr.shape)
 
@@ -1129,7 +1138,7 @@ def fft3d_cube(xr: jax.Array, xi: jax.Array, inverse: bool = False,
                    jax.ShapeDtypeStruct((b, nx, ny, nz), jnp.float32)),
         interpret=_interpret(),
         **_vmem_params(_CUBE_VMEM_PLANES * nx * ny * nz * 4
-                       + sum(c.nbytes for c in consts)),
+                       + sum(c.nbytes for c in consts), grid_dims=1),
     )(xr4, xi4, *consts)
     shp = lead + (nx, ny, nz)
     return yr.reshape(shp), yi.reshape(shp)
@@ -1393,7 +1402,7 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
         interpret=_interpret(),
         **({"input_output_aliases": {0: 0, 1: 1}} if alias else {}),
         **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * nz * 4
-                       + sum(c.nbytes for c in consts)),
+                       + sum(c.nbytes for c in consts), grid_dims=1),
     )(xr3, xi3, *consts)
     out_trail = lead + (ny, nz + zpad)
     return yr.reshape(out_trail), yi.reshape(out_trail)
@@ -1494,7 +1503,7 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
                    jax.ShapeDtypeStruct(out_shape4, jnp.float32)),
         interpret=_interpret(),
         **_vmem_params(_X_VMEM_BLOCKS * n * ty * tz * 4
-                       + sum(c.nbytes for c in consts) + (1 << 20)),
+                       + sum(c.nbytes for c in consts) + (1 << 20), grid_dims=3),
     )(xr4, xi4, *consts)
     out_shape = lead + (n, ny, zo)
     return yr.reshape(out_shape), yi.reshape(out_shape)
@@ -1543,7 +1552,7 @@ def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
                    jax.ShapeDtypeStruct(out_shape4, jnp.float32)),
         interpret=_interpret(),
         **_vmem_params(_X_VMEM_BLOCKS * n * ty * tz * 4
-                       + sum(c.nbytes for c in consts) + (1 << 20)),
+                       + sum(c.nbytes for c in consts) + (1 << 20), grid_dims=3),
     )(xr4, xi4, *consts)
     out_shape = lead + (n, ny, nz + zpad)
     return yr.reshape(out_shape), yi.reshape(out_shape)
@@ -1662,7 +1671,7 @@ def rfft_last_planar(x: jax.Array, radices=None,
         # 24 blocks: the dual-transform untangle doubles the core temps
         # (measured 20.6M actual vs a 16-block 19.1M estimate at m=2048)
         **_vmem_params(24 * tb * max(m, mo) * 4
-                       + sum(c.nbytes for c in consts) + (1 << 20)),
+                       + sum(c.nbytes for c in consts) + (1 << 20), grid_dims=1),
     )(vr, vi, *consts)
     if bp != b:
         yr = yr[:b]
@@ -1910,7 +1919,7 @@ def rfft_slab_yz(x: jax.Array, rad_y=None, rad_z=None,
         out_shape=(jax.ShapeDtypeStruct(out3, jnp.float32),
                    jax.ShapeDtypeStruct(out3, jnp.float32)),
         interpret=_interpret(),
-        **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * m * 4),
+        **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * m * 4, grid_dims=1),
     )(x3, *consts)
     out_trail = lead + (ny, m + zpad)
     return yr.reshape(out_trail), yi.reshape(out_trail)
@@ -1971,7 +1980,7 @@ def _assemble_mp1(yr, yi, a, b):
         out_shape=(jax.ShapeDtypeStruct((rows, ny, m + 1), jnp.float32),
                    jax.ShapeDtypeStruct((rows, ny, m + 1), jnp.float32)),
         interpret=_interpret(),
-        **_vmem_params(11 * tx * ny * m * 4),
+        **_vmem_params(11 * tx * ny * m * 4, grid_dims=1),
     )(yr2, yi2, a2r, a2i, b2r, b2i)
     return (out_r.reshape(lead + (ny, m + 1)),
             out_i.reshape(lead + (ny, m + 1)))
@@ -2152,7 +2161,7 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
         out_specs=out_blk,
         out_shape=jax.ShapeDtypeStruct((p, ny, n), jnp.float32),
         interpret=_interpret(),
-        **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * m * 4),
+        **_vmem_params(_SLAB_VMEM_PLANES * tb * ny * m * 4, grid_dims=1),
     )(*args, *consts)
     return out.reshape(lead + (ny, n))
 
@@ -2285,7 +2294,7 @@ def icrfft_last_planar(xr: jax.Array, xi: jax.Array, n: int = 0,
         # large-M guard (same bug class as fft_last at n>=2048, r2);
         # 24 blocks: the dual re-tangle runs two inverse cores
         **_vmem_params(24 * tb * n * 4
-                       + sum(c.nbytes for c in consts) + (1 << 20)),
+                       + sum(c.nbytes for c in consts) + (1 << 20), grid_dims=1),
     )(xr2, xi2, *consts)
     if bp != b:
         out = out[:b]
