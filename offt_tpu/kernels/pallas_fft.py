@@ -1456,7 +1456,7 @@ def can_use_padded_x(n: int, ny: int, nz: int, radices=None) -> bool:
 def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
                       radices=None, precision: str = DEFAULT_PRECISION,
                       scale: float = 1.0, out_lanes: int = 0,
-                      ty: int = 8, tz: int = 128):
+                      ty: int = 8, tz: int = 128, y_true: int = 0):
     # tile A/B on v5e at 256^3 (loop-timed, stack6): (8,128) 0.620 ms,
     # (16,128) 0.850, (8,256) 0.870 — bigger blocks LOSE (shallower
     # double-buffering under the vmem limit outweighs larger DMA rows);
@@ -1467,12 +1467,20 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
 
     ``out_lanes`` (>= z_true) allocates extra unwritten output lanes —
     consumers that append a plane (the r2c Nyquist fixup) can then update
-    in place instead of paying a full-array concatenate pass."""
+    in place instead of paying a full-array concatenate pass.
+
+    ``y_true`` (< Y) declares trailing pad ROWS on the input's y axis to
+    skip (the grid covers only the true rows; the output has y_true
+    rows). A one-sublane-tile y pad makes the PLANE stride an odd
+    multiple of 2^12 under the (8,128) physical tiling, so the n
+    x-chunks a block gathers stop landing on one HBM bank column."""
     lead = xr3.shape[:-3]
     b = int(np.prod(lead)) if lead else 1
     n, ny, zp = xr3.shape[-3:]
-    xr4 = xr3.reshape(b, n, ny, zp)
-    xi4 = xi3.reshape(b, n, ny, zp)
+    if y_true:
+        ny = y_true
+    xr4 = xr3.reshape(b, n, xr3.shape[-2], zp)
+    xi4 = xi3.reshape(b, n, xr3.shape[-2], zp)
     rad = _pick_stages(n, radices, stacked=precision == "stack6")
     if rad is None:
         raise ValueError(f"N={n} not expressible")

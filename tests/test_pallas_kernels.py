@@ -120,6 +120,21 @@ def test_padded_x_roundtrip():
     assert rel_err(rt, x) < 1e-5
 
 
+def test_padded_x_y_true():
+    """``y_true`` skips trailing pad ROWS of the padded intermediate —
+    the x-chunk base-stride probe surface (DESIGN.md, 'the stack6
+    ceiling is the MXU' entry; measured neutral on v5e, kept as tested
+    capability)."""
+    n, ny, nz = 16, 32, 128
+    x = rand_c64((n, ny + 8, nz + 8), seed=81)
+    gr, gi = pf.fft_x_from_padded(x.real.copy(), x.imag.copy(),
+                                  z_true=nz, y_true=ny)
+    got = np.asarray(gr) + 1j * np.asarray(gi)
+    assert got.shape == (n, ny, nz)
+    want = np.fft.fft(x[:, :ny, :nz], axis=0)
+    assert rel_err(got, want) < 1e-5
+
+
 def test_rfft3d_packed_fast_path():
     """Packed-Nyquist 3-D r2c: internal frequency axis = exactly M lanes
     (the 129-lane numpy layout costs ~2x traffic on TPU tiled storage)."""
