@@ -18,7 +18,6 @@ for the composition view.
 Appends JSONL rows to round4_hw.jsonl (step "rslab512").
 """
 
-import functools
 import json
 import os
 import sys

@@ -1,0 +1,198 @@
+"""Round-4 consolidated performance inventory.
+
+Runs the benchmark CLI (offt_tpu.bench.runfft, loop-timed methodology)
+over the perf surface — c2c fwd/inv, r2c/c2r packed + numpy layout, a
+batched and a 2-D slab config — against the XLA (jnp.fft) baseline in
+the SAME session, so every README/ledger claim has one fresh receipt.
+Big shapes that need on-device generation (768^3, 1024^3) keep their
+dedicated round-4 receipts (round4_hw.jsonl steps inplace/bench4b) and
+are cited, not re-run (host->device of 3.6 GB through the tunnel is
+~400 s).
+
+Appends rows to perf_inventory.jsonl; renders docs/PERF.md at the end.
+Device probe + 3x backoff between steps (one tunnel stall must not void
+the capture — bench.py watchdog pattern).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.abspath(os.path.join(HERE, "..", ".."))
+OUT = os.path.join(HERE, "perf_inventory.jsonl")
+PERF_MD = os.path.join(REPO, "docs", "PERF.md")
+
+# (config id, human label, runfft argv tail, also-run-xla)
+CONFIGS = [
+    ("c2c_128b8", "8x128^3 c2c fwd", ["-N", "128", "-b", "8"], True),
+    ("c2c_256", "256^3 c2c fwd", ["-N", "256"], True),
+    ("c2c_320", "320^3 c2c fwd", ["-N", "320"], True),
+    ("c2c_512", "512^3 c2c fwd", ["-N", "512"], True),
+    ("c2c_256i", "256^3 c2c inv", ["-N", "256", "-i"], True),
+    ("c2c_512i", "512^3 c2c inv", ["-N", "512", "-i"], True),
+    ("r2c_256", "256^3 r2c (numpy layout)", ["-N", "256", "-R"], True),
+    ("r2c_256p", "256^3 r2c packed", ["-N", "256", "-R", "--packed"], False),
+    ("r2c_512", "512^3 r2c (numpy layout)", ["-N", "512", "-R"], True),
+    ("r2c_512p", "512^3 r2c packed", ["-N", "512", "-R", "--packed"], False),
+    ("c2r_256", "256^3 c2r (numpy layout)", ["-N", "256", "-R", "-i"], True),
+    ("c2r_256p", "256^3 c2r packed",
+     ["-N", "256", "-R", "-i", "--packed"], False),
+    ("c2r_512", "512^3 c2r (numpy layout)", ["-N", "512", "-R", "-i"], True),
+    ("c2r_512p", "512^3 c2r packed",
+     ["-N", "512", "-R", "-i", "--packed"], False),
+    ("c2c_2d", "64x1024^2 c2c fwd (2-D slab)",
+     ["--nx", "64", "--ny", "1024", "--nz", "1024"], True),
+]
+
+# cited, not re-run (methodology: chained + donate / on-device gen)
+CITED = [
+    ("768^3 c2c fwd", "31.1 ms offt (2094 GFLOP/s); XLA fftn OOMs",
+     "round4_hw.jsonl presplit step default_ms=31.8; BENCH_LOCAL r3"),
+    ("1024^3 c2c in-place", "81.9 ms (1967 GFLOP/s) on ONE 16 GB chip",
+     "round4_hw.jsonl inplace step (chained, donated, zero-temp)"),
+    ("1024^3 r2c packed", "80.2 ms (1005 GFLOP/s); XLA OOMs",
+     "BENCH_LOCAL.jsonl r3 dual-untangle entry"),
+]
+
+
+def log(row):
+    with open(OUT, "a") as fh:
+        fh.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+
+
+def probe(tries=3, backoff_s=180):
+    script = ("import jax, jax.numpy as jnp; "
+              "x = jnp.ones((8, 128)); "
+              "print(float((x + 1).sum()))")
+    for i in range(tries):
+        try:
+            r = subprocess.run([sys.executable, "-c", script], cwd=REPO,
+                               capture_output=True, text=True, timeout=300)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < tries:
+            time.sleep(backoff_s)
+    return False
+
+
+def run_one(cid, label, tail, algo, timeout_s=900):
+    argv = [sys.executable, "-m", "offt_tpu.bench.runfft",
+            "-a", algo] + tail
+    t0 = time.time()
+    try:
+        r = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        log({"id": cid, "label": label, "algo": algo,
+             "t": time.strftime("%Y-%m-%dT%H:%M:%S"),
+             "error": f"timeout {timeout_s}s"})
+        return None
+    line = None
+    for ln in (r.stdout or "").splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            line = ln
+    if not line:
+        log({"id": cid, "label": label, "algo": algo,
+             "t": time.strftime("%Y-%m-%dT%H:%M:%S"), "rc": r.returncode,
+             "error": (r.stderr or "")[-400:]})
+        return None
+    row = json.loads(line)
+    row.update({"id": cid, "label": label,
+                "t": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "wall_s": round(time.time() - t0, 1)})
+    log(row)
+    return row
+
+
+def render(results):
+    lines = [
+        "# offt-tpu performance inventory (v5e single chip)",
+        "",
+        "One fresh same-session receipt per headline claim: loop-timed",
+        "(`obs/profile.time_fn_looped`, fori-loop differencing, see",
+        "DESIGN.md \"Timing methodology\") via the benchmark CLI, offt vs",
+        "the XLA `jnp.fft` baseline. Raw rows:",
+        "`docs/receipts/perf_inventory.jsonl`. Chip shows +-10% session",
+        "variance; treat third digits as noise.",
+        "",
+        f"Captured: {time.strftime('%Y-%m-%d')} "
+        "(post MXU+VPU core, padded-x route, sublane-reshape fix).",
+        "",
+        "| config | offt ms | offt GFLOP/s | XLA ms | speedup |",
+        "|---|---|---|---|---|",
+    ]
+    for cid, label, _tail, want_xla in CONFIGS:
+        o = results.get((cid, "offt"))
+        x = results.get((cid, "xla"))
+        if not o or "t_ms" not in o:
+            lines.append(f"| {label} | (failed) | | | |")
+            continue
+        oms = o["t_ms"]
+        ogf = o.get("gflops", "")
+        if x and "t_ms" in x:
+            sp = f"{x['t_ms'] / oms:.2f}x"
+            xms = f"{x['t_ms']:.2f}"
+        elif want_xla:
+            sp, xms = "", "(failed)"
+        else:
+            # packed layouts have no XLA analogue; compare against the
+            # same-shape numpy-layout XLA row if present
+            base = results.get((cid.rstrip("p"), "xla"))
+            if base and "t_ms" in base:
+                sp = f"{base['t_ms'] / oms:.2f}x*"
+                xms = f"{base['t_ms']:.2f}*"
+            else:
+                sp, xms = "", "n/a"
+        lines.append(f"| {label} | {oms:.3f} | {ogf} | {xms} | {sp} |")
+    lines += [
+        "",
+        "`*` packed rows compared against the numpy-layout XLA transform",
+        "(XLA has no packed analogue).",
+        "",
+        "## Big shapes (dedicated receipts, not re-run here)",
+        "",
+        "| config | result | receipt |",
+        "|---|---|---|",
+    ]
+    for label, result, receipt in CITED:
+        lines.append(f"| {label} | {result} | {receipt} |")
+    lines += [
+        "",
+        "Distributed-path wall clock is not meaningful in this",
+        "environment (one real chip; the 8-device mesh is virtual CPU) —",
+        "see docs/receipts/knob_sweep_cpu.jsonl for the exchange-knob",
+        "evidence and MULTICHIP_r0*.json for the dryrun battery.",
+        "",
+    ]
+    with open(PERF_MD, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {PERF_MD}", flush=True)
+
+
+def main():
+    results = {}
+    for cid, label, tail, want_xla in CONFIGS:
+        if not probe():
+            log({"id": cid, "error": "device unreachable, aborting queue",
+                 "t": time.strftime("%Y-%m-%dT%H:%M:%S")})
+            break
+        row = run_one(cid, label, tail, "offt")
+        if row:
+            results[(cid, "offt")] = row
+        if want_xla:
+            row = run_one(cid, label, tail, "xla")
+            if row:
+                results[(cid, "xla")] = row
+    render(results)
+    print("PERF INVENTORY DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
