@@ -176,21 +176,44 @@ def render(results):
     print(f"wrote {PERF_MD}", flush=True)
 
 
-def main():
+def load_results():
+    """Rebuild the results dict from the JSONL, last row per (id, algo)
+    wins — so corrected re-runs (appended later) supersede stale rows."""
     results = {}
+    if not os.path.exists(OUT):
+        return results
+    with open(OUT) as fh:
+        for ln in fh:
+            try:
+                row = json.loads(ln)
+            except ValueError:
+                continue
+            if "id" in row and "algo" in row and "t_ms" in row:
+                results[(row["id"], row["algo"])] = row
+    return results
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "--render-only":
+        render(load_results())
+        return
+    only = set(argv[argv.index("--only") + 1].split(",")) \
+        if "--only" in argv else None
+    algos = set(argv[argv.index("--algos") + 1].split(",")) \
+        if "--algos" in argv else None
     for cid, label, tail, want_xla in CONFIGS:
+        if only and cid not in only:
+            continue
         if not probe():
             log({"id": cid, "error": "device unreachable, aborting queue",
                  "t": time.strftime("%Y-%m-%dT%H:%M:%S")})
             break
-        row = run_one(cid, label, tail, "offt")
-        if row:
-            results[(cid, "offt")] = row
-        if want_xla:
-            row = run_one(cid, label, tail, "xla")
-            if row:
-                results[(cid, "xla")] = row
-    render(results)
+        if not algos or "offt" in algos:
+            run_one(cid, label, tail, "offt")
+        if want_xla and (not algos or "xla" in algos):
+            run_one(cid, label, tail, "xla")
+    render(load_results())
     print("PERF INVENTORY DONE", flush=True)
 
 

@@ -238,22 +238,50 @@ def main(argv=None):
     else:  # xla
         import jax.numpy as jnp
 
-        if ns.r2c:
+        if ns.packed:
+            # the packed-Nyquist layout is offt-native; XLA has no analogue
+            print(json.dumps({"algo": "xla", "shape": list(shape),
+                              "error": "packed layout has no XLA analogue"}))
+            return 2
+        if ns.r2c and ns.inverse:
+            # c2r: irfftn from the numpy-layout half spectrum (in_shape
+            # already carries M+1 trailing lanes)
+            xla_fn = "irfftn"
+            im = jax.device_put(
+                rng.standard_normal(in_shape).astype(np.float32))
+
+            @jax.jit
+            def fn(r, i):
+                return (jnp.fft.irfftn(jax.lax.complex(r, i),
+                                       s=shape[-3:]),)
+            args = (re, im)
+        elif ns.r2c:
+            xla_fn = "rfftn"
+
             @jax.jit
             def fn(r):
                 y = jnp.fft.rfftn(r)
                 return jnp.real(y), jnp.imag(y)
             args = (re,)
         else:
+            xla_fn = "ifftn" if ns.inverse else "fftn"
             im = jax.device_put(rng.standard_normal(shape).astype(np.float32))
 
-            @jax.jit
-            def fn(r, i):
-                y = jnp.fft.fftn(jax.lax.complex(r, i))
-                return jnp.real(y), jnp.imag(y)
+            if ns.inverse:
+                @jax.jit
+                def fn(r, i):
+                    y = jnp.fft.ifftn(jax.lax.complex(r, i))
+                    return jnp.real(y), jnp.imag(y)
+            else:
+                @jax.jit
+                def fn(r, i):
+                    y = jnp.fft.fftn(jax.lax.complex(r, i))
+                    return jnp.real(y), jnp.imag(y)
             args = (re, im)
         t_init = time.time() - t_init0
         t = _bench_chained(fn, args, ns.reps)
+        _summary(ns, shape, flops, t, t_init=t_init, xla_fn=xla_fn)
+        return 0
 
     _summary(ns, shape, flops, t, t_init=t_init)
     return 0
@@ -303,7 +331,7 @@ def _verify(p, shape, ns):
         sys.exit(1)
 
 
-def _summary(ns, shape, flops, t, t_init):
+def _summary(ns, shape, flops, t, t_init, **extra):
     gflops = flops / t / 1e9
     print(f"# {ns.algo} {shape} {'r2c' if ns.r2c else 'c2c'} "
           f"t_min={t * 1e3:.3f} ms t_init={t_init:.2f} s "
@@ -312,7 +340,7 @@ def _summary(ns, shape, flops, t, t_init):
         "algo": ns.algo, "shape": list(shape),
         "kind": "r2c" if ns.r2c else "c2c",
         "t_ms": round(t * 1e3, 4), "gflops": round(gflops, 2),
-        "t_init_s": round(t_init, 3),
+        "t_init_s": round(t_init, 3), **extra,
     }))
 
 

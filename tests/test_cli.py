@@ -119,6 +119,26 @@ def test_runfft_c2r_inverse():
     assert out.returncode == 0, out.stderr[-800:]
 
 
+def test_runfft_xla_honors_inverse_and_c2r():
+    """The XLA baseline must bench the SAME transform as the offt config
+    (a round-4 fix: -i silently benched fftn; -R -i benched rfftn on a
+    half-spectrum-shaped input)."""
+    out = run_cli(["bench", "-N", "16", "-a", "xla", "-i", "-r", "1"])
+    assert out.returncode == 0, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["xla_fn"] == "ifftn"
+    out = run_cli(["bench", "-N", "16", "-a", "xla", "-R", "-i", "-r", "1"])
+    assert out.returncode == 0, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["xla_fn"] == "irfftn"
+    # the packed layout has no XLA analogue: explicit error line, rc=2
+    out = run_cli(["bench", "-N", "16", "-a", "xla", "-R", "--packed",
+                   "-r", "1"])
+    assert out.returncode == 2
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "no XLA analogue" in rec["error"]
+
+
 def test_runfft_jaxdecomp_not_installed():
     """The third-party-baseline flag degrades to a machine-readable JSON
     error line in environments without jaxdecomp (zero-egress image)."""
