@@ -177,19 +177,34 @@ def render(results):
 
 
 def load_results():
-    """Rebuild the results dict from the JSONL, last row per (id, algo)
-    wins — so corrected re-runs (appended later) supersede stale rows."""
-    results = {}
+    """Rebuild the results dict from the JSONL. A config re-run appends
+    more rows; the MEDIAN t_ms row per (id, algo) wins (single loop-pair
+    draws carry the chip's +-10% session jitter — see the bench4b 0.74 ms
+    artifact in round4_hw.jsonl). Rows logged before a marker row
+    {"id": X, "algo": Y, "stale": true} are dropped (used to retract the
+    pre-fix inverse-XLA rows that benched the wrong transform)."""
+    rows = {}
     if not os.path.exists(OUT):
-        return results
+        return {}
     with open(OUT) as fh:
         for ln in fh:
             try:
                 row = json.loads(ln)
             except ValueError:
                 continue
-            if "id" in row and "algo" in row and "t_ms" in row:
-                results[(row["id"], row["algo"])] = row
+            key = (row.get("id"), row.get("algo"))
+            if row.get("stale"):
+                rows.pop(key, None)
+                continue
+            if row.get("id") and row.get("algo") and "t_ms" in row:
+                rows.setdefault(key, []).append(row)
+    results = {}
+    for key, lst in rows.items():
+        lst.sort(key=lambda r: r["t_ms"])
+        med = lst[len(lst) // 2] if len(lst) % 2 else lst[len(lst) // 2 - 1]
+        med = dict(med, draws=len(lst),
+                   t_ms_all=[r["t_ms"] for r in lst]) if len(lst) > 1 else med
+        results[key] = med
     return results
 
 
