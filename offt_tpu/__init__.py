@@ -13,6 +13,7 @@ overlap and an Active Harmony tuner) as an idiomatic JAX/XLA/Pallas library:
 
 __version__ = "0.1.0"
 
+from . import fft
 from .kernels import fft_1d
 from .kernels.pallas_fft import pack_rfft3d, unpack_rfft3d
 from .plan.api import (
@@ -42,6 +43,7 @@ __all__ = [
     "rfft3d",
     "irfft3d",
     "plan",
+    "fft",
     "fft_1d",
     "pack_rfft3d",
     "unpack_rfft3d",
