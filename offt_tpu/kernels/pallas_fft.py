@@ -131,19 +131,47 @@ def _fold_complex(f: np.ndarray) -> np.ndarray:
 # nothing and stay at highest.
 # --------------------------------------------------------------------------
 
-def _stack6_np(g: np.ndarray) -> np.ndarray:
-    """Exact 3-word bf16 split of a constant matrix, the six retained
-    cross products stacked along the contraction (last) axis; pairs with
-    the runtime operand order [x0; x1; x2; x0; x1; x0]."""
+_STACK_WORDS = {"stack6": 3, "stack3": 2}
+
+
+def _stack_words(precision) -> int:
+    """Word count of a stacked precision mode: 3 for "stack6" (3-word
+    splits, 6 retained cross products, ~2e-7), 2 for "stack3" (2-word
+    splits, 3 retained products, ~2e-5 at HALF the MXU slots), 0 for the
+    non-stacked modes."""
+    return _STACK_WORDS.get(precision, 0)
+
+
+def _words_of(stacked) -> int:
+    """Normalize a ``stacked`` table/picker argument: False/0 -> 0,
+    True -> 3 (legacy stack6 spelling), else the word count itself."""
+    if stacked is True:
+        return 3
+    return int(stacked or 0)
+
+
+def _stack_np(g: np.ndarray, words: int = 3) -> np.ndarray:
+    """Exact ``words``-word bf16 split of a constant matrix, the
+    retained cross products stacked along the contraction (last) axis.
+    words=3 (stack6) pairs with the runtime operand order
+    [x0; x1; x2; x0; x1; x0]; words=2 (stack3) with [x0; x1; x0] —
+    products G0x0 + (G0x1 + G1x0), dropping the O(2^-16) G1x1 term."""
     import ml_dtypes
 
     bf = ml_dtypes.bfloat16
     g = g.astype(np.float32)
     g0 = g.astype(bf).astype(np.float32)
     g1 = (g - g0).astype(bf).astype(np.float32)
+    if words == 2:
+        return np.concatenate([g0.astype(bf), g0.astype(bf),
+                               g1.astype(bf)], axis=-1)
     g2 = (g - g0 - g1).astype(bf)
     return np.concatenate([g0.astype(bf), g0.astype(bf), g0.astype(bf),
                            g1.astype(bf), g1.astype(bf), g2], axis=-1)
+
+
+def _stack6_np(g: np.ndarray) -> np.ndarray:
+    return _stack_np(g, 3)
 
 
 def _split3(x):
@@ -158,20 +186,32 @@ def _split3(x):
 
 def _split3_cat(x):
     """3-word split stacked along the contraction (first) axis in the
-    order matching _stack6_np."""
+    order matching _stack_np(words=3)."""
     x0, x1, x2 = _split3(x)
     return jnp.concatenate([x0, x1, x2, x0, x1, x0], axis=0)
 
 
+def _split2_cat(x):
+    """2-word split stacked to match _stack_np(words=2)."""
+    x0 = x.astype(jnp.bfloat16)
+    x1 = (x - x0.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([x0, x1, x0], axis=0)
+
+
 def _stacked_dot(g_cat, x):
-    """One deep bf16 matmul == six shallow highest-precision passes."""
-    return jnp.dot(g_cat, _split3_cat(x), preferred_element_type=jnp.float32)
+    """One deep bf16 matmul == the shallow highest-precision passes.
+    The stacking variant is inferred from the table: a stack6 table is
+    6x the operand depth, a stack3 table 3x."""
+    ratio = g_cat.shape[-1] // x.shape[0]
+    cat = _split3_cat(x) if ratio == 6 else _split2_cat(x)
+    return jnp.dot(g_cat, cat, preferred_element_type=jnp.float32)
 
 
 def _dot_precision(precision: str) -> str:
-    """Precision for direct (non-stacked) jnp.dot sites: stack6 only
-    applies to the radix-stage dots; everything else runs highest."""
-    return "highest" if precision == "stack6" else precision
+    """Precision for direct (non-stacked) jnp.dot sites: the stacked
+    modes only apply to the radix-stage dots; everything else runs
+    highest."""
+    return "highest" if _stack_words(precision) else precision
 
 
 @functools.lru_cache(maxsize=None)
@@ -191,10 +231,12 @@ def _tables(n: int, r1: int, inverse: bool, scale: float = 1.0,
     anyway) but accuracy improves ~20% (1.2e-7 vs 1.5e-7 at 256^3 — one
     fewer f32 rounding per element). _sublane_core dispatches on g2.ndim.
 
-    ``stacked`` (precision="stack6"): the g1/g2 matrices come back as
-    bf16 contraction-stacked 6-term expansions (see _stack6_np); only
-    available on the loop-core path — otherwise f32 tables are returned
-    and callers fall back to precision=highest (detected via dtype)."""
+    ``stacked`` (a word count — 3 = stack6, 2 = stack3, True = 3): the
+    g1/g2 matrices come back as bf16 contraction-stacked expansions (see
+    _stack_np); only available on the loop-core path — otherwise f32
+    tables are returned and callers fall back to precision=highest
+    (detected via dtype)."""
+    stacked = _words_of(stacked)
     r2 = n // r1
     f1 = dft.dft_matrix(r1, np.complex128, inverse)
     f2 = dft.dft_matrix(r2, np.complex128, inverse)
@@ -215,8 +257,8 @@ def _tables(n: int, r1: int, inverse: bool, scale: float = 1.0,
         # flat) — Mosaic already amortizes weight loads across the
         # unrolled per-k1 dots, and the doubled weight footprint only
         # hurts. Keep the per-group (2r2, 12r2) layout.
-        out["g1"] = _stack6_np(g1)                 # (2r1, 12r1) bf16
-        out["g2"] = _stack6_np(g2)                 # (r1, 2r2, 12r2) bf16
+        out["g1"] = _stack_np(g1, stacked)         # (2r1, 12r1) bf16
+        out["g2"] = _stack_np(g2, stacked)         # (r1, 2r2, 12r2) bf16
     else:
         out["g1"] = g1.astype(np.float32)
         out["g2"] = g2.astype(np.float32)
@@ -227,10 +269,12 @@ def _pick_2stage(n: int, radices=None,
                  stacked: bool = False) -> tuple[int, int] | None:
     """Choose (r1, r2) with both <= MAX_RADIX, or None if not expressible.
 
-    ``stacked`` (precision="stack6") picks the split by MXU PASS count of
-    the contraction-stacked dots — stage cost ceil(12r/128) — preferring a
+    ``stacked`` (a word count — 3 = stack6, 2 = stack3, True = 3) picks
+    the split by MXU PASS count of the contraction-stacked dots — stage
+    cost ceil(12r/128) at stack6, ceil(6r/128) at stack3 — preferring a
     small r1 on ties (deeper, fewer stage-B dots). Measured at 256^3 on
     v5e: (8,32) 1.382 ms vs (16,16) 1.597 vs (32,8)-z 1.587."""
+    stacked = _words_of(stacked)
     if radices is not None:
         if len(radices) == 2 and all(r <= dft.MAX_RADIX for r in radices):
             return int(radices[0]), int(radices[1])
@@ -239,12 +283,16 @@ def _pick_2stage(n: int, radices=None,
         return None
     if stacked:
         # per-element MXU pass cost: a dot stage of radix r streams
-        # ceil(2r/128) row tiles x ceil(12r/128) contraction passes per
-        # r transformed rows. The MXU+VPU split pays only its stage-A
-        # dots (the butterfly stage is VPU adds); tie-breaks prefer the
-        # split (frees the MXU) and then the smaller VPU radix.
+        # ceil(2r/128) row tiles x ceil(depth_mult*r/128) contraction
+        # passes per r transformed rows (depth_mult = 2 * retained
+        # products: 12 at stack6, 6 at stack3). The MXU+VPU split pays
+        # only its stage-A dots (the butterfly stage is VPU adds);
+        # tie-breaks prefer the split (frees the MXU) and then the
+        # smaller VPU radix.
+        mult = 12 if stacked == 3 else 6
+
         def dot_cost(r):
-            return (-(-2 * r // 128)) * (-(-12 * r // 128)) / r
+            return (-(-2 * r // 128)) * (-(-mult * r // 128)) / r
 
         best = None
         for a in range(2, _LOOP_MAX_RADIX + 1):
@@ -369,7 +417,7 @@ def _core_tables(n: int, radices: tuple, inverse: bool, scale: float = 1.0,
     ga = _fold_complex(dft.dft_matrix(r1, np.complex128, inverse))
     twa = dft.twiddles(r1, m, np.complex128, inverse)       # (r1, m)
     if stacked and r1 <= _LOOP_MAX_RADIX:
-        ga = _stack6_np(ga)
+        ga = _stack_np(ga, _words_of(stacked))
     else:
         ga = ga.astype(np.float32)
     inner = _core_tables(m, (r2, r3), inverse, scale, stacked)
@@ -404,7 +452,7 @@ def _core_apply(xr, xi, consts: list, radices: tuple,
     lanes = xr.shape[-1]
     ga, twar, twai = consts[0], consts[1], consts[2]
     inner = consts[3:]
-    stacked = precision == "stack6" and ga.dtype == jnp.bfloat16
+    stacked = _stack_words(precision) > 0 and ga.dtype == jnp.bfloat16
     x3r = xr.reshape(r1, m, lanes)
     x3i = xi.reshape(r1, m, lanes)
     # stage A: per-digit-slice dot over the r1 axis, then the outer
@@ -461,7 +509,7 @@ def _sublane_core_loop(xr, xi, g1, g2, twr, twi, r1, r2, precision):
     # stack6: the tables arrived bf16 contraction-stacked (see _stack6_np);
     # each radix dot becomes one deep bf16 matmul instead of 6 shallow
     # highest-precision passes
-    stacked = precision == "stack6" and g1.dtype == jnp.bfloat16
+    stacked = _stack_words(precision) > 0 and g1.dtype == jnp.bfloat16
     precision = _dot_precision(precision)
     # stage A: per-n2 digit slice, contraction depth 2*r1 on sublanes
     outs_r, outs_i = [], []
@@ -543,8 +591,10 @@ def _vpu_tables(n: int, r1: int, r2: int, inverse: bool, scale: float = 1.0,
     f1 = dft.dft_matrix(r1, np.complex128, inverse)
     tw = dft.twiddles(r1, r2, np.complex128, inverse) * scale   # (r1, r2)
     mats = [_fold_complex(f1 * tw[:, j][:, None]) for j in range(r2)]
+    stacked = _words_of(stacked)
     if stacked:
-        return np.stack([_stack6_np(m) for m in mats])  # (r2, 2r1, 12r1) bf16
+        # (r2, 2r1, 12r1) bf16 at stack6 / (r2, 2r1, 6r1) at stack3
+        return np.stack([_stack_np(m, stacked) for m in mats])
     return np.stack(mats).astype(np.float32)            # (r2, 2r1, 2r1) f32
 
 
@@ -669,7 +719,10 @@ def _sublane_core_vpu(xr, xi, gs, r1, r2, inverse, precision):
     x3i = xi.reshape(r1, r2, lanes)
     stacked = gs.dtype == jnp.bfloat16
     prec = _dot_precision(precision)
-    presplit = stacked and _stack6_presplit()
+    # the stage-wide presplit A/B assembles the 12-slice stack6 operand
+    # explicitly; stack3 tables (6r1-deep) take the per-dot path
+    presplit = (stacked and _stack6_presplit()
+                and gs.shape[-1] == 12 * r1)
     if presplit:
         # A/B variant (OFFT_STACK6_PRESPLIT=1): 3-word-split the WHOLE
         # stage input once (two big VPU passes Mosaic can pipeline
@@ -775,7 +828,7 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     requires a batch that is already a block multiple (no pad copy).
     """
     n = xr.shape[-1]
-    rad = _pick_stages(n, radices, stacked=precision == "stack6")
+    rad = _pick_stages(n, radices, stacked=_stack_words(precision))
     if rad is None:
         raise ValueError(f"N={n} not expressible as a Pallas kernel")
     lead = xr.shape[:-1]
@@ -797,7 +850,7 @@ def fft_last(xr: jax.Array, xi: jax.Array, inverse: bool = False,
         xi2 = jnp.pad(xi2, ((0, bp - b), (0, 0)))
     consts = [jnp.asarray(c) for c in
               _core_tables(n, rad, inverse, scale,
-                           stacked=precision == "stack6")]
+                           stacked=_stack_words(precision))]
     kernel = functools.partial(_last_kernel, radices=rad, precision=precision,
                                inverse=inverse)
     grid = (bp // tb,)
@@ -864,7 +917,7 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
     if axis == xr.ndim - 1:
         raise ValueError("use fft_last for the last axis")
     n = xr.shape[axis]
-    rad = _pick_stages(n, radices, stacked=precision == "stack6")
+    rad = _pick_stages(n, radices, stacked=_stack_words(precision))
     if rad is None:
         raise ValueError(f"N={n} not expressible as a Pallas kernel")
     # VMEM budget: 4 planar arrays (in+out) are double-buffered across grid
@@ -893,7 +946,7 @@ def fft_sublane(xr: jax.Array, xi: jax.Array, axis: int,
     tl = _pick_lane_tile(lanes, tl_target)
     consts = [jnp.asarray(c) for c in
               _core_tables(n, rad, inverse, scale,
-                           stacked=precision == "stack6")]
+                           stacked=_stack_words(precision))]
     kernel = functools.partial(_sublane_kernel, radices=rad,
                                precision=precision, inverse=inverse)
     grid = (pre, lanes // tl)
@@ -949,7 +1002,7 @@ def _sublane_nd(xr, xi, axis, n, rad, inverse, precision, scale, alias,
     ty, tz = tiles
     consts = [jnp.asarray(c) for c in
               _core_tables(n, rad, inverse, scale,
-                           stacked=precision == "stack6")]
+                           stacked=_stack_words(precision))]
     kernel = functools.partial(_x_strided_kernel, radices=rad,
                                precision=precision, inverse=inverse)
     shape4 = (b, n, mid, last)
@@ -1091,7 +1144,7 @@ def _cube_kernel(*refs, rx: tuple, ry: tuple, rz: tuple, ncx: int,
 def can_fuse_cube(nx: int, ny: int, nz: int,
                   rad_x=None, rad_y=None, rad_z=None,
                   precision: str = DEFAULT_PRECISION) -> bool:
-    stk = precision == "stack6"
+    stk = _stack_words(precision)
     return (nx * ny * nz <= _CUBE_MAX_ELEMS
             and nz % 128 == 0 and ny % 8 == 0
             and _pick_stages(nx, rad_x, stacked=stk) is not None
@@ -1107,7 +1160,7 @@ def fft3d_cube(xr: jax.Array, xi: jax.Array, inverse: bool = False,
 
     Inverse folds 1/N (and ``out_scale``) into the z-stage tables."""
     nx, ny, nz = xr.shape[-3:]
-    stk = precision == "stack6"
+    stk = _stack_words(precision)
     rx = _pick_stages(nx, rad_x, stacked=stk)
     ry = _pick_stages(ny, rad_y, stacked=stk)
     rz = _pick_stages(nz, rad_z, stacked=stk)
@@ -1367,8 +1420,8 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     ny, nz = xr.shape[-2], xr.shape[-1]
     if z_true:
         nz = z_true
-    ry = _pick_stages(ny, rad_y, stacked=precision == "stack6")
-    rz = _pick_stages(nz, rad_z, stacked=precision == "stack6")
+    ry = _pick_stages(ny, rad_y, stacked=_stack_words(precision))
+    rz = _pick_stages(nz, rad_z, stacked=_stack_words(precision))
     if ry is None or rz is None or ny * nz > _SLAB_VMEM_LIMIT:
         raise ValueError(f"slab ({ny},{nz}) not fusable")
     lead = xr.shape[:-2]
@@ -1376,7 +1429,7 @@ def fft_slab_yz(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     in_shape3 = (p, ny, xr.shape[-1])
     xr3 = xr.reshape(in_shape3)
     xi3 = xi.reshape(in_shape3)
-    stk = precision == "stack6"
+    stk = _stack_words(precision)
     cz = _core_tables(nz, rz, inverse, stacked=stk)
     cy = _core_tables(ny, ry, inverse, scale, stacked=stk)  # scale rides y
     consts = [jnp.asarray(v) for v in (*cz, *cy)]
@@ -1481,7 +1534,7 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
         ny = y_true
     xr4 = xr3.reshape(b, n, xr3.shape[-2], zp)
     xi4 = xi3.reshape(b, n, xr3.shape[-2], zp)
-    rad = _pick_stages(n, radices, stacked=precision == "stack6")
+    rad = _pick_stages(n, radices, stacked=_stack_words(precision))
     if rad is None:
         raise ValueError(f"N={n} not expressible")
     # output lane extent is zo = max(out_lanes, z_true): a non-128-mult
@@ -1493,7 +1546,7 @@ def fft_x_from_padded(xr3, xi3, z_true: int, inverse: bool = False,
         raise ValueError(f"tile ({ty},{tz}) illegal for ({ny},{z_true})")
     consts = [jnp.asarray(c) for c in
               _core_tables(n, rad, inverse, scale,
-                           stacked=precision == "stack6")]
+                           stacked=_stack_words(precision))]
     kernel = functools.partial(_x_strided_kernel, radices=rad,
                                precision=precision, inverse=inverse)
     blk = pl.BlockSpec((1, n, ty, tz), lambda i, j, k: (i, 0, j, k),
@@ -1536,14 +1589,14 @@ def fft_x_to_padded(xr3, xi3, zpad: int = _STRIDE_PAD, inverse: bool = False,
         nz = z_true
     xr4 = xr3.reshape(b, n, ny, xr3.shape[-1])
     xi4 = xi3.reshape(b, n, ny, xr3.shape[-1])
-    rad = _pick_stages(n, radices, stacked=precision == "stack6")
+    rad = _pick_stages(n, radices, stacked=_stack_words(precision))
     if rad is None:
         raise ValueError(f"N={n} not expressible")
     if ny % ty or nz % tz or tz % 128:
         raise ValueError(f"tile ({ty},{tz}) illegal for ({ny},{nz})")
     consts = [jnp.asarray(c) for c in
               _core_tables(n, rad, inverse, scale,
-                           stacked=precision == "stack6")]
+                           stacked=_stack_words(precision))]
     kernel = functools.partial(_x_strided_kernel, radices=rad,
                                precision=precision, inverse=inverse)
     blk = pl.BlockSpec((1, n, ty, tz), lambda i, j, k: (i, 0, j, k),
@@ -1641,7 +1694,7 @@ def rfft_last_planar(x: jax.Array, radices=None,
     """
     n = x.shape[-1]
     m = n // 2
-    pick = _pick_2stage(m, radices, stacked=precision == "stack6")
+    pick = _pick_2stage(m, radices, stacked=_stack_words(precision))
     if pick is None or n % 2 != 0:
         raise ValueError(f"N={n} not expressible for the fused r2c kernel")
     r1, r2 = pick
@@ -1657,7 +1710,7 @@ def rfft_last_planar(x: jax.Array, radices=None,
     if bp != b:
         vr = jnp.pad(vr, ((0, bp - b), (0, 0)))
         vi = jnp.pad(vi, ((0, bp - b), (0, 0)))
-    cm = _core_tables(m, pick, False, stacked=precision == "stack6")
+    cm = _core_tables(m, pick, False, stacked=_stack_words(precision))
     wr, wi = _rfft_tables(n)
     consts = [jnp.asarray(v) for v in (*cm, wr, wi)]
     kernel = functools.partial(_rfft_last_kernel, rm=pick, ncm=len(cm),
@@ -1896,14 +1949,14 @@ def rfft_slab_yz(x: jax.Array, rad_y=None, rad_z=None,
     (..., Y, M(+zpad)) planar half-spectrum."""
     ny, n = x.shape[-2], x.shape[-1]
     m = n // 2
-    ry = _pick_2stage(ny, rad_y, stacked=precision == "stack6")
-    rm = _pick_2stage(m, rad_z, stacked=precision == "stack6")
+    ry = _pick_2stage(ny, rad_y, stacked=_stack_words(precision))
+    rm = _pick_2stage(m, rad_z, stacked=_stack_words(precision))
     if ry is None or rm is None or n % 2 != 0:
         raise ValueError(f"rfft slab ({ny},{n}) not fusable")
     lead = x.shape[:-2]
     p = int(np.prod(lead)) if lead else 1
     x3 = x.reshape(p, ny, n).astype(jnp.float32)
-    stk = precision == "stack6"
+    stk = _stack_words(precision)
     cm = _core_tables(m, rm, False, stacked=stk)
     cy = _core_tables(ny, ry, False, stacked=stk)
     dual = m > _H_DOT_MAX
@@ -2118,8 +2171,8 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
     1/M is included there)."""
     m = n // 2
     ny = xr.shape[-2]
-    ry = _pick_2stage(ny, rad_y, stacked=precision == "stack6")
-    rm = _pick_2stage(m, rad_z, stacked=precision == "stack6")
+    ry = _pick_2stage(ny, rad_y, stacked=_stack_words(precision))
+    rm = _pick_2stage(m, rad_z, stacked=_stack_words(precision))
     if ry is None or rm is None:
         raise ValueError(f"c2r slab ({ny},{n}) not fusable")
     lead = xr.shape[:-2]
@@ -2127,7 +2180,7 @@ def irfft_slab_yz(xr: jax.Array, xi: jax.Array, n: int, rad_y=None,
     in3 = (p, ny, xr.shape[-1])
     xr3 = xr.reshape(in3)
     xi3 = xi.reshape(in3)
-    stk = precision == "stack6"
+    stk = _stack_words(precision)
     cy = _core_tables(ny, ry, True, stacked=stk)
     cm = _core_tables(m, rm, True, stacked=stk)
     # the unscaled inverse core computes a plain sum (no 1/M); the G
@@ -2260,7 +2313,7 @@ def icrfft_last_planar(xr: jax.Array, xi: jax.Array, n: int = 0,
     combined factor when upstream passes were left unscaled)."""
     m = xr.shape[-1]
     n = n or 2 * m
-    pick = _pick_2stage(m, radices, stacked=precision == "stack6")
+    pick = _pick_2stage(m, radices, stacked=_stack_words(precision))
     if pick is None:
         raise ValueError(f"M={m} not expressible for the packed c2r kernel")
     r1, r2 = pick
@@ -2276,7 +2329,7 @@ def icrfft_last_planar(xr: jax.Array, xi: jax.Array, n: int = 0,
     if bp != b:
         xr2 = jnp.pad(xr2, ((0, bp - b), (0, 0)))
         xi2 = jnp.pad(xi2, ((0, bp - b), (0, 0)))
-    cm = _core_tables(m, pick, True, stacked=precision == "stack6")
+    cm = _core_tables(m, pick, True, stacked=_stack_words(precision))
     dual = m > _H_DOT_MAX
     if dual:
         s = np.float32(scale)

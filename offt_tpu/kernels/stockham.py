@@ -52,7 +52,7 @@ def set_matmul_precision(p: str) -> None:
 def _resolve_precision(p):
     if p is None:
         return _PRECISION
-    return "highest" if p == "stack6" else p
+    return "highest" if p in ("stack6", "stack3") else p
 
 
 def _einsum(subscripts, *ops, precision=None):

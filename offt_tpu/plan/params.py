@@ -225,16 +225,18 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
         return "v outside [0,3]"
     if params.slab_rows not in (0, 1, 2, 4, 8, 16):
         return "slab_rows outside {0,1,2,4,8,16}"
-    if params.precision not in ("default", "high", "highest", "stack6"):
+    if params.precision not in ("default", "high", "highest", "stack6",
+                                "stack3"):
         return f"precision {params.precision!r} unknown"
     if params.precision == "high" and params.use_pallas:
         return "precision 'high' unsupported by Mosaic (use stack6/highest)"
-    if params.precision == "stack6" and not params.use_pallas:
-        # stack6 is a Pallas-kernel mode (contraction-stacked bf16 tables);
-        # the unfused XLA path would silently run 'highest', making
-        # (use_pallas=0, stack6) a duplicate search point of
-        # (use_pallas=0, highest) — reject so the tuner never samples it
-        return "precision 'stack6' requires use_pallas=1"
+    if params.precision in ("stack6", "stack3") and not params.use_pallas:
+        # the stacked modes are Pallas-kernel modes (contraction-stacked
+        # bf16 tables); the unfused XLA path would silently run
+        # 'highest', making (use_pallas=0, stack*) a duplicate search
+        # point of (use_pallas=0, highest) — reject so the tuner never
+        # samples it
+        return f"precision {params.precision!r} requires use_pallas=1"
     # buffer ceiling, reference BUFFER_SIZE_LIMIT (offt-tuning.c:170,183):
     # per-device working set of one pipelined chunk x window depth. Only
     # meaningful for distributed plans (local plans have no comm buffers).

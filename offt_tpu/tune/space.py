@@ -291,7 +291,12 @@ def build_space(
         if len(xt) > 1:
             dims.append(Dimension("x_tile", tuple(xt)))
         # MXU precision for the radix dots, both f32-grade (1e-6 bar):
-        # stack6 = contraction-stacked bf16 words, ~3x less MXU time
+        # stack6 = contraction-stacked bf16 words, ~3x less MXU time.
+        # "stack3" (half the stacked depth, ~2e-5) and "default" (one
+        # bf16 pass, 5e-3) are deliberately NOT search points: the tuner
+        # scores time only, so an accuracy-trading mode would always win
+        # while silently breaking the 1e-6 bar — they stay explicit
+        # opt-ins via PlanParams(precision=...).
         dims.append(Dimension("precision", ("stack6", "highest")))
     return SearchSpace(spec=spec, dims=tuple(dims),
                        constraints=tuple(constraints))
