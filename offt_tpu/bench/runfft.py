@@ -87,9 +87,16 @@ def _bench_chained(fn, args, reps):
         return time.perf_counter() - t0
 
     chain(1)
-    t_s = min(chain(1) for _ in range(reps))
-    t_l = min(chain(1 + 8) for _ in range(reps))
-    return max((t_l - t_s) / 8, 1e-9)
+    # Tiny problems on a loaded host can jitter the (long - short)
+    # difference non-positive; escalate the chain length before giving up
+    # rather than reporting a clamped zero.
+    for k in (8, 32, 128):
+        t_s = min(chain(1) for _ in range(reps))
+        t_l = min(chain(1 + k) for _ in range(reps))
+        dt = (t_l - t_s) / k
+        if dt > 0:
+            return dt
+    return max(dt, 1e-9)
 
 
 def main(argv=None):
