@@ -88,15 +88,21 @@ def _bench_chained(fn, args, reps):
 
     chain(1)
     # Tiny problems on a loaded host can jitter the (long - short)
-    # difference non-positive; escalate the chain length before giving up
-    # rather than reporting a clamped zero.
+    # difference non-positive OR barely-positive; a barely-positive dt at
+    # k=8 yields a grossly inflated GFLOP/s, so require the difference to
+    # clear the observed per-draw jitter (spread of the min-filtered
+    # draws) before accepting, else escalate the chain length.
+    dt = 0.0
     for k in (8, 32, 128):
-        t_s = min(chain(1) for _ in range(reps))
-        t_l = min(chain(1 + k) for _ in range(reps))
-        dt = (t_l - t_s) / k
-        if dt > 0:
-            return dt
-    return max(dt, 1e-9)
+        ts = [chain(1) for _ in range(reps)]
+        tl = [chain(1 + k) for _ in range(reps)]
+        t_s, t_l = min(ts), min(tl)
+        diff = t_l - t_s
+        jitter = (max(ts) - t_s) + (max(tl) - t_l)
+        dt = diff / k
+        if diff > max(jitter, 1e-4):
+            return dt, True
+    return max(dt, 1e-9), False
 
 
 def main(argv=None):
@@ -215,9 +221,9 @@ def main(argv=None):
                 yr, yi = fn(*c)
                 return fence(yr, yr[..., :1]), yi
 
-            t = time_fn_looped(jax.jit(body), args)
+            t, ok = time_fn_looped(jax.jit(body), args), True
         else:
-            t = _bench_chained(fn, args, ns.reps)
+            t, ok = _bench_chained(fn, args, ns.reps)
         if ns.verify:
             _verify(p, shape, ns)
         if ns.breakdown and not ns.r2c and not ns.batch:
@@ -241,7 +247,7 @@ def main(argv=None):
             return jnp.real(y), jnp.imag(y)
         args = (re, im)
         t_init = time.time() - t_init0
-        t = _bench_chained(fn, args, ns.reps)
+        t, ok = _bench_chained(fn, args, ns.reps)
     else:  # xla
         import jax.numpy as jnp
 
@@ -286,11 +292,12 @@ def main(argv=None):
                     return jnp.real(y), jnp.imag(y)
             args = (re, im)
         t_init = time.time() - t_init0
-        t = _bench_chained(fn, args, ns.reps)
-        _summary(ns, shape, flops, t, t_init=t_init, xla_fn=xla_fn)
+        t, ok = _bench_chained(fn, args, ns.reps)
+        _summary(ns, shape, flops, t, t_init=t_init, reliable=ok,
+                 xla_fn=xla_fn)
         return 0
 
-    _summary(ns, shape, flops, t, t_init=t_init)
+    _summary(ns, shape, flops, t, t_init=t_init, reliable=ok)
     return 0
 
 
@@ -338,17 +345,26 @@ def _verify(p, shape, ns):
         sys.exit(1)
 
 
-def _summary(ns, shape, flops, t, t_init, **extra):
+def _summary(ns, shape, flops, t, t_init, reliable=True, **extra):
     gflops = flops / t / 1e9
-    print(f"# {ns.algo} {shape} {'r2c' if ns.r2c else 'c2c'} "
-          f"t_min={t * 1e3:.3f} ms t_init={t_init:.2f} s "
-          f"{gflops:.1f} GFLOP/s", file=sys.stderr)
-    print(json.dumps({
+    rec = {
         "algo": ns.algo, "shape": list(shape),
         "kind": "r2c" if ns.r2c else "c2c",
         "t_ms": round(t * 1e3, 4), "gflops": round(gflops, 2),
         "t_init_s": round(t_init, 3), **extra,
-    }))
+    }
+    if not reliable:
+        # every chain length jittered the loop difference below
+        # significance — flag the row rather than emitting a clamped or
+        # inflated number as if it were a measurement
+        print("# WARNING: loop-differenced timing did not separate from "
+              "jitter at any chain length; result is unreliable",
+              file=sys.stderr)
+        rec["unreliable"] = True
+    print(f"# {ns.algo} {shape} {'r2c' if ns.r2c else 'c2c'} "
+          f"t_min={t * 1e3:.3f} ms t_init={t_init:.2f} s "
+          f"{gflops:.1f} GFLOP/s", file=sys.stderr)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
