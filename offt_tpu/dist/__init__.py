@@ -2,6 +2,9 @@
 
 from .mesh import (
     COL,
+    RANKORDER_AUTO,
+    RANKORDER_COL,
+    RANKORDER_ROW,
     ROW,
     SLICE,
     input_sharding,
@@ -9,11 +12,13 @@ from .mesh import (
     make_multislice_mesh,
     mesh_shape,
     output_sharding,
+    with_rankorder,
 )
 from .pencil import make_pencil_fft3d, make_phase_trials, pencil_pipeline
 
 __all__ = [
-    "COL", "ROW", "SLICE", "input_sharding", "make_mesh",
-    "make_multislice_mesh", "make_pencil_fft3d", "make_phase_trials",
-    "mesh_shape", "output_sharding", "pencil_pipeline",
+    "COL", "RANKORDER_AUTO", "RANKORDER_COL", "RANKORDER_ROW", "ROW",
+    "SLICE", "input_sharding", "make_mesh", "make_multislice_mesh",
+    "make_pencil_fft3d", "make_phase_trials", "mesh_shape",
+    "output_sharding", "pencil_pipeline", "with_rankorder",
 ]

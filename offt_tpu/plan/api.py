@@ -536,6 +536,11 @@ def plan(
     reason = infeasible_reason(spec, params)
     if reason is not None:
         raise ValueError(f"infeasible plan: {reason}")
+    if mesh is not None and params.rankorder:
+        # re-grid the caller's devices per the rankorder knob (reference
+        # ROTATE_RANKORDER, offt-compute.c:69-77); the Plan carries the
+        # re-gridded mesh so its shardings stay self-consistent
+        mesh = meshlib.with_rankorder(mesh, params.rankorder)
     ndim = batch_dims + 3
     scale = _norm_scale(norm, inverse, shape[0] * shape[1] * shape[2])
     if packed:

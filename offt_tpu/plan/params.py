@@ -58,6 +58,11 @@ class PlanParams:
     # transpose strategy per phase (reference S knob generalized)
     s1: int = TRANSPOSE_ALL_TO_ALL
     s2: int = TRANSPOSE_ALL_TO_ALL
+    # device->grid assignment (reference ROTATE_RANKORDER,
+    # offt-compute.c:69-77): 0 = topology-aware / mesh-as-given,
+    # 1 = row-major enumeration order, 2 = column-major (rotated).
+    # Decides whether each phase's all_to_all members are ICI neighbors.
+    rankorder: int = 0
     # per-phase exchange primitive, 2 bits like the reference V (offt.h:96,
     # alltoallv vs padded alltoall): bit0 = phase 1, bit1 = phase 2;
     # 0 = split all_to_all / ring (see s1/s2), 1 = all_gather + local slice
@@ -177,14 +182,26 @@ def default_params(spec: ProblemSpec, p1: Optional[int] = None) -> PlanParams:
         precision = "stack6" if use_pallas else "highest"
     if spec.p == 1:
         return PlanParams(p1=1, use_pallas=use_pallas, precision=precision)
-    # modest pipelining by default, mirroring the reference's W=2 heuristic
-    # (offt-compute.c:3127-3225); tiles bounded by the per-device extents
+    # Distributed defaults by mesh-size class, production-informed like the
+    # reference's params_set_default (offt-compute.c:3127-3225) — receipts:
+    # docs/receipts/knob_sweep_cpu.jsonl + tune_cpu_mesh_summary.jsonl.
+    #   p <= 8:  t=4 pipeline chunks win big (2.3x over t=1 at 32x64x256 on
+    #            the 2x4 mesh) and w=0 (unbounded in-flight) edges every
+    #            bounded window at t=4 (20.1 vs 22.7 ms at w=2).
+    #   p >= 16: chunking overhead LOSES once the collectives saturate the
+    #            fabric (t=1 23.9 ms vs t=4 24.0/26.4 at 4x4; t=4 never
+    #            recovers its dispatch overhead at 4x8) — no pipelining.
+    # s (ring) and v (gather) only ever won in the unpipelined t=1 region,
+    # which this heuristic avoids; both stay 0.
     p2 = spec.p // p1
-    t1 = min(4, max(1, nx // max(p1, 1)))
-    t2 = min(4, max(1, spec.nz_freq // max(p2, 1)))
+    if spec.p >= 16:
+        t1 = t2 = 1
+    else:
+        t1 = min(4, max(1, nx // max(p1, 1)))
+        t2 = min(4, max(1, spec.nz_freq // max(p2, 1)))
     if spec.inverse:   # the inverse pipeline chunks z in phase 1, x in phase 2
         t1, t2 = t2, t1
-    return PlanParams(p1=p1, t1=t1, t2=t2, w1=min(2, t1), w2=min(2, t2),
+    return PlanParams(p1=p1, t1=t1, t2=t2, w1=0, w2=0,
                       use_pallas=use_pallas, precision=precision)
 
 
@@ -223,6 +240,8 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
         return "s1/s2 outside {0,1}"
     if not (0 <= params.v <= 3):
         return "v outside [0,3]"
+    if params.rankorder not in (0, 1, 2):
+        return "rankorder outside {0,1,2}"
     if params.slab_rows not in (0, 1, 2, 4, 8, 16):
         return "slab_rows outside {0,1,2,4,8,16}"
     if params.precision not in ("default", "high", "highest", "stack6",

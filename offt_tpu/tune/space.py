@@ -258,6 +258,9 @@ def build_space(
         dims.append(Dimension("s1", (0, 1)))
         dims.append(Dimension("s2", (0, 1)))
         dims.append(Dimension("v", (0, 1, 2, 3)))
+        # device->grid assignment (ROTATE_RANKORDER analogue): auto
+        # (topology-aware / mesh-as-given) vs the two explicit orders
+        dims.append(Dimension("rankorder", (0, 1, 2)))
     if include_radix:
         dims.append(Dimension("radix_z", _radix_candidates(nz if not spec.real
                                                            else nz // 2)))

@@ -144,7 +144,8 @@ def test_bundled_entries_all_load_and_feasible():
     for key, rec in db.items():
         params = cache._params_from_json(rec["params"])
         shape = tuple(int(v) for v in key.split("|")[0].split("x"))
-        spec = ProblemSpec(shape=shape, real="r2c" in key,
+        p1, p2 = (int(v) for v in key.split("|")[3].split("x"))
+        spec = ProblemSpec(shape=shape, real="r2c" in key, p=p1 * p2,
                            inverse=key.endswith("|inv"))
         assert infeasible_reason(spec, params) is None, key
         assert rec.get("perf") and rec["perf"] > 0, key
