@@ -45,6 +45,12 @@ CONFIGS = [
      ["-N", "512", "-R", "-i", "--packed"], False),
     ("c2c_2d", "64x1024^2 c2c fwd (2-D slab)",
      ["--nx", "64", "--ny", "1024", "--nz", "1024"], True),
+    # BASELINE config 1: long 1-D via the four-step route
+    # (kernels/fourstep.py, round 5)
+    ("c2c_1d", "2^20 c2c 1-D (four-step)",
+     ["--nx", "1", "--ny", "1", "--nz", str(1 << 20)], True),
+    ("c2c_1d_b8", "8x2^20 c2c 1-D batched",
+     ["--nx", "1", "--ny", "1", "--nz", str(1 << 20), "-b", "8"], True),
 ]
 
 # cited, not re-run (methodology: chained + donate / on-device gen)
@@ -176,13 +182,43 @@ def render(results):
     print(f"wrote {PERF_MD}", flush=True)
 
 
+# v5e bf16 MXU peak used by the floor model (DESIGN.md §6): the stacked
+# radix-dot costs 1536 MAC-slots per complex element per stage at every
+# (64, rV) pick, so stack6 c2c = elems * 1536 * stages * 2 / 197e12 s.
+_MXU_PEAK = 197e12
+
+
+def _floor_ms(cid):
+    """Physical lower bound (ms) for an offt row of config ``cid`` at the
+    default stack6 precision — any draw BELOW this is a timing artifact
+    (the 0.295 ms "256^3" k-pair underspread class, VERDICT r4 weak #1),
+    not a measurement. r2c/c2r do half the c2c slot work (half-length z
+    stage + half-width x/y stages) less the untangle; gate at 0.4x."""
+    dims = {"c2c_128b8": (8, 128, 128, 128), "c2c_256": (1, 256, 256, 256),
+            "c2c_320": (1, 320, 320, 320), "c2c_512": (1, 512, 512, 512),
+            "c2c_256i": (1, 256, 256, 256), "c2c_512i": (1, 512, 512, 512),
+            "r2c_256": (1, 256, 256, 256), "r2c_256p": (1, 256, 256, 256),
+            "r2c_512": (1, 512, 512, 512), "r2c_512p": (1, 512, 512, 512),
+            "c2r_256": (1, 256, 256, 256), "c2r_256p": (1, 256, 256, 256),
+            "c2r_512": (1, 512, 512, 512), "c2r_512p": (1, 512, 512, 512),
+            "c2c_2d": (1, 64, 1024, 1024)}
+    if cid not in dims:
+        return 0.0
+    b, nx, ny, nz = dims[cid]
+    full = b * nx * ny * nz * 1536 * 3 * 2 / _MXU_PEAK * 1e3
+    return full * (0.4 if cid.startswith(("r2c", "c2r")) else 1.0)
+
+
 def load_results():
     """Rebuild the results dict from the JSONL. A config re-run appends
     more rows; the MEDIAN t_ms row per (id, algo) wins (single loop-pair
     draws carry the chip's +-10% session jitter — see the bench4b 0.74 ms
     artifact in round4_hw.jsonl). Rows logged before a marker row
     {"id": X, "algo": Y, "stale": true} are dropped (used to retract the
-    pre-fix inverse-XLA rows that benched the wrong transform)."""
+    pre-fix inverse-XLA rows that benched the wrong transform). Two
+    sanity gates (VERDICT r4 weak #1): rows the CLI itself flagged
+    "unreliable" are dropped, and offt rows FASTER than the config's
+    MXU-floor model are dropped as timing artifacts."""
     rows = {}
     if not os.path.exists(OUT):
         return {}
@@ -196,6 +232,11 @@ def load_results():
             if row.get("stale"):
                 rows.pop(key, None)
                 continue
+            if row.get("unreliable"):
+                continue
+            if (row.get("algo") == "offt" and "t_ms" in row
+                    and row["t_ms"] < _floor_ms(row.get("id"))):
+                continue  # sub-floor artifact draw
             if row.get("id") and row.get("algo") and "t_ms" in row:
                 rows.setdefault(key, []).append(row)
     results = {}

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ..kernels import pallas_fft
+from ..kernels import fourstep, pallas_fft
 from ..kernels.stockham import fft_1d
 from ..plan.params import TRANSPOSE_PPERMUTE, PlanParams
 from .mesh import COL, ROW, _batch_spec, mesh_shape
@@ -46,14 +46,26 @@ from .mesh import COL, ROW, _batch_spec, mesh_shape
 
 def axis_fft(c, axis: int, inverse: bool, radices, params: PlanParams):
     """Local 1-D transform dispatch: fused Pallas kernel when enabled and
-    expressible (complex64, 2-stage radix), else the unfused matmul path."""
-    if (params.use_pallas and c.dtype == jnp.complex64
-            and pallas_fft.can_use_pallas(c.shape[axis], radices)):
-        return pallas_fft.fft_1d_complex(c, axis=axis, inverse=inverse,
-                                         radices=radices,
-                                         precision=params.precision,
-                                         block=params.block_batch,
-                                         x_tile=params.x_tile)
+    expressible (complex64, 2-stage radix), else the four-step long-1-D
+    route (last axis beyond the 2-stage ceiling, kernels/fourstep.py),
+    else the unfused matmul path."""
+    if params.use_pallas and c.dtype == jnp.complex64:
+        if pallas_fft.can_use_pallas(c.shape[axis], radices):
+            return pallas_fft.fft_1d_complex(c, axis=axis, inverse=inverse,
+                                             radices=radices,
+                                             precision=params.precision,
+                                             block=params.block_batch,
+                                             x_tile=params.x_tile)
+        if (axis % c.ndim == c.ndim - 1 and radices is None
+                and fourstep.can_use_four_step(c.shape[axis],
+                                               params.split_1d)):
+            # numpy ifft semantics (1/n) are already folded into the
+            # sub-stage tables inside the four-step route
+            yr, yi = fourstep.fft_four_step_planar(
+                jnp.real(c), jnp.imag(c), inverse=inverse,
+                split=params.split_1d, precision=params.precision,
+                block=params.block_batch)
+            return lax.complex(yr, yi)
     return fft_1d(c, axis=axis, inverse=inverse, radices=radices,
                   precision=params.precision)
 

@@ -63,7 +63,7 @@ def _load() -> dict:
 
 def _params_to_json(p: PlanParams) -> dict:
     d = dataclasses.asdict(p)
-    for k in ("radix_z", "radix_y", "radix_x", "x_tile"):
+    for k in ("radix_z", "radix_y", "radix_x", "x_tile", "split_1d"):
         if d[k] is not None:
             d[k] = list(d[k])
     return d
@@ -71,7 +71,7 @@ def _params_to_json(p: PlanParams) -> dict:
 
 def _params_from_json(d: dict) -> PlanParams:
     d = dict(d)
-    for k in ("radix_z", "radix_y", "radix_x", "x_tile"):
+    for k in ("radix_z", "radix_y", "radix_x", "x_tile", "split_1d"):
         if d.get(k) is not None:
             d[k] = tuple(d[k])
     # drop unknown keys (older/newer cache rows across versions)

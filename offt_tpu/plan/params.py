@@ -82,6 +82,12 @@ class PlanParams:
     # measured-best default at 256^3 on v5e (bigger tiles lose to
     # shallower double-buffering under the vmem limit)
     x_tile: Optional[tuple[int, int]] = None
+    # four-step split for long degenerate 1-D transforms (Nx == Ny == 1,
+    # Nz beyond the fused 2-stage kernel ceiling): Nz = n1 * n2 with both
+    # factors kernel-expressible (kernels/fourstep.py); None = auto
+    # (balanced picker). BASELINE config 1; reference setup_p1d 1-D
+    # engines, offt-compute.c:329-489.
+    split_1d: Optional[tuple[int, int]] = None
     # MXU precision for DFT contractions: 'stack6' (contraction-stacked
     # 6-term bf16 words: the SAME six products as bf16x6 issued as ONE
     # deep matmul — f32-grade 2e-7 accuracy at ~1/3 the MXU time of
@@ -170,9 +176,16 @@ def default_params(spec: ProblemSpec, p1: Optional[int] = None) -> PlanParams:
         try:
             import jax
             from ..kernels.pallas_fft import can_use_pallas
-            if jax.default_backend() == "tpu" and all(
-                    can_use_pallas(n) for n in (nx, ny, nz)):
-                use_pallas = 1
+            if jax.default_backend() == "tpu":
+                # the z axis may alternatively ride the four-step long-1-D
+                # route (kernels/fourstep.py, last-axis c2c only) — that
+                # is what makes degenerate (1, 1, 2^20) plans fused
+                zok = can_use_pallas(nz)
+                if not zok and not spec.real:
+                    from ..kernels.fourstep import can_use_four_step
+                    zok = can_use_four_step(nz)
+                if zok and can_use_pallas(nx) and can_use_pallas(ny):
+                    use_pallas = 1
         except Exception:
             pass
     precision = str(_cfg.get("precision"))
@@ -288,6 +301,13 @@ def infeasible_reason(spec: ProblemSpec, params: PlanParams) -> Optional[str]:
                                       or min(rad) < 2):
                     return (f"radices {rad}: 3-stage radices must be in "
                             f"[2, {dft.LOOP_MAX_RADIX}]")
+    if params.split_1d is not None:
+        from ..kernels.fourstep import pick_split
+        if spec.real or (nx, ny) != (1, 1):
+            return "split_1d applies only to degenerate (1, 1, N) c2c plans"
+        if pick_split(nz, params.split_1d) is None:
+            return (f"split_1d {params.split_1d} invalid for N={nz} "
+                    "(product or kernel expressibility)")
     if params.x_tile is not None:
         ty, tz = params.x_tile
         # the x kernel's lane extent: M = nz/2 for real transforms

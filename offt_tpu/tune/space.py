@@ -226,6 +226,31 @@ def _radix_candidates(n: int, limit: int = 12) -> tuple:
     return tuple(uniq[:limit])
 
 
+def _split1d_candidates(spec, limit: int = 8) -> tuple:
+    """Candidate (n1, n2) four-step splits for a degenerate (1, 1, N) c2c
+    spec where the fused 2-stage kernel does not apply. None = the module
+    auto-pick (balanced, lane-multiple-preferring)."""
+    from ..kernels import fourstep
+    from ..kernels import pallas_fft as pf
+
+    n = spec.shape[2]
+    if spec.real or pf.can_use_pallas(n) or fourstep.pick_split(n) is None:
+        return (None,)
+    cands = [None]
+    for d in range(2, int(n ** 0.5) + 1):
+        if n % d:
+            continue
+        for n1, n2 in ((d, n // d), (n // d, d)):
+            sp = fourstep.pick_split(n, (n1, n2))
+            if sp is not None and sp not in cands:
+                cands.append(sp)
+    # keep the most lane-friendly few: full lane tiles first, balanced next
+    cands[1:] = sorted(cands[1:],
+                       key=lambda s: (0 if s[1] % 128 == 0 else 1,
+                                      abs(s[1] - s[0])))[:limit - 1]
+    return tuple(cands)
+
+
 def build_space(
     spec: ProblemSpec,
     fixed_p1: Optional[int] = None,
@@ -266,6 +291,13 @@ def build_space(
                                                            else nz // 2)))
         dims.append(Dimension("radix_y", _radix_candidates(ny)))
         dims.append(Dimension("radix_x", _radix_candidates(nx)))
+        # four-step split for long degenerate 1-D c2c plans (the route in
+        # kernels/fourstep.py, BASELINE config 1): which (n1, n2) matrix
+        # view the length-n vector takes. Reference analogue: FFTW's own
+        # sub-plan choice inside setup_p1d (offt-compute.c:329-489).
+        s1d = _split1d_candidates(spec) if (nx, ny) == (1, 1) else (None,)
+        if len(s1d) > 1:
+            dims.append(Dimension("split_1d", s1d))
     if include_pallas is None:
         try:
             import jax
