@@ -199,6 +199,8 @@ class Engine {
       if (++init_idx_ >= size_) nm_phase_init_ = false;
       return;
     }
+    if (!nm_pending_) return;  // stale duplicate report (multi-client):
+                               // the pending trial was already consumed
     nm_pending_ = false;
     sort_simplex(simplex_);
     Vertex& worst = simplex_.back();

@@ -29,6 +29,7 @@
 #include <map>
 #include <memory>
 #include <mutex>
+#include <set>
 #include <sstream>
 #include <string>
 #include <thread>
@@ -311,6 +312,12 @@ struct Session {
   bool left = false;  // client detached; retained for the UI, evictable
   double best_perf = std::numeric_limits<double>::infinity();
   std::vector<std::pair<double, double>> history;  // (t, perf) for the UI
+  // points issued but not yet reported: distinguishes a strategy that is
+  // WAITING on another client's report (multi-client mid-round) from a
+  // truly exhausted one, and gates stale duplicate reports off the
+  // engine (Python-server Session parity; harmony_join multi-client
+  // flow, hclient.c:156-233)
+  std::set<std::vector<int>> outstanding;
   // runtime config database (harmony_query/harmony_inform,
   // hclient.h:95-128 / session-core.c:927-935): in-memory string KV.
   // Live keys: STRATEGY_CONVERGED reflects the engine; truthy PAUSED
@@ -447,8 +454,12 @@ class Server {
           paused->second != "0")
         return R"({"status": "BUSY", "reason": "paused"})";
       std::vector<int> pt(sess->ndims);
-      if (!sess->engine->generate(pt.data()))
+      if (!sess->engine->generate(pt.data())) {
+        if (!sess->outstanding.empty() && !sess->engine->converged())
+          return R"({"status": "BUSY", "reason": "waiting"})";
         return R"({"status": "BUSY", "reason": "exhausted"})";
+      }
+      sess->outstanding.insert(pt);
       return "{\"status\": \"OK\", \"point\": " + int_array_json(pt) +
              ", \"values\": " + int_array_json(pt) + "}";
     }
@@ -459,7 +470,11 @@ class Server {
           !json_get_number(msg, "perf", &perf) ||
           (int)pt.size() != sess->ndims)
         return R"({"status": "FAIL", "error": "bad report"})";
-      sess->engine->analyze(pt.data(), perf);
+      // only the FIRST report per issued point drives the engine; stale
+      // duplicates (NM hands its current test point to every fetching
+      // client) still land in history/best for the UI
+      if (sess->outstanding.erase(pt) > 0)
+        sess->engine->analyze(pt.data(), perf);
       sess->trials++;
       if (perf < sess->best_perf) sess->best_perf = perf;
       sess->history.emplace_back(
@@ -477,7 +492,8 @@ class Server {
       if (!json_get_int_array(msg, "point", &pt) ||
           (int)pt.size() != sess->ndims)
         return R"({"status": "FAIL", "error": "bad reject"})";
-      sess->engine->rejected(pt.data());
+      if (sess->outstanding.erase(pt) > 0)
+        sess->engine->rejected(pt.data());
       return R"({"status": "OK"})";
     }
     if (op == "best") {

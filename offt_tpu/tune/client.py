@@ -55,13 +55,26 @@ class ServiceClient:
         self.session = session
 
     # ---- Strategy protocol (generate/analyze/rejected/best/converged) ---
-    def generate(self):
+    def generate(self, wait_timeout_s: float = 600.0):
+        """Fetch the next candidate point, blocking through temporary
+        BUSY states: "paused" (operator pause — unbounded by contract)
+        and "waiting" (the strategy is blocked on another client's
+        outstanding report, the multi-client mid-round state — bounded
+        by ``wait_timeout_s`` so a crashed sibling cannot hang us
+        forever). Returns None when the search is over."""
+        t0 = time.monotonic()
         while True:
             reply = self._rpc(op="fetch", session=self.session)
             if reply.get("status") != "BUSY":
                 break
-            if reply.get("reason") == "paused":
+            reason = reply.get("reason")
+            if reason == "paused":
                 time.sleep(self.pause_poll_s)  # temporary: wait it out
+                continue
+            if reason == "waiting":
+                if time.monotonic() - t0 > wait_timeout_s:
+                    return None
+                time.sleep(self.pause_poll_s)
                 continue
             return None  # exhausted (or a legacy server): search is over
         self._last_point = tuple(reply["point"])

@@ -67,13 +67,21 @@ class Session:
 
     def fetch(self) -> tuple[Optional[tuple], str]:
         """Returns (point, reason). point=None with reason "paused"
-        (operator set PAUSED — temporary, clients should retry) or
-        "exhausted" (the strategy has no more fresh points — final)."""
+        (operator set PAUSED — temporary, clients should retry),
+        "waiting" (the strategy is blocked on outstanding reports from
+        OTHER clients — e.g. a PRO round fully issued but not yet fully
+        reported; temporary, retry), or "exhausted" (the strategy has no
+        more fresh points — final). The waiting/exhausted distinction is
+        what lets N clients share one session without a mid-round fetch
+        being misread as the end of the search (harmony_join multi-client
+        flow, hclient.c:156-233)."""
         with self.lock:
             if self.cfg.get("PAUSED") not in (None, "", "0"):
                 return None, "paused"
             pt = self.strategy.generate()
             if pt is None:
+                if self.outstanding and not self.strategy.converged():
+                    return None, "waiting"
                 return None, "exhausted"
             self.outstanding.add(tuple(pt))
             return pt, ""
@@ -98,8 +106,17 @@ class Session:
     def report(self, point, perf: float):
         with self.lock:
             pt = tuple(point)
+            fresh = pt in self.outstanding
             self.outstanding.discard(pt)
-            self.strategy.analyze(pt, float(perf))
+            # Only the FIRST report for an issued point drives the
+            # strategy: when NM hands its current test point to two
+            # clients, the second (stale) report would be misread as the
+            # answer to whatever trial the first one triggered (or crash
+            # on an empty pending slot). AH absorbs extra results into
+            # the point DB only (session-core report flow) — we keep
+            # them in history so best() still sees every measurement.
+            if fresh:
+                self.strategy.analyze(pt, float(perf))
             self.history.append((time.time(), list(point), float(perf)))
             if len(self.history) > 10000:   # bound UI history
                 del self.history[:5000]
@@ -107,8 +124,10 @@ class Session:
     def reject(self, point):
         with self.lock:
             pt = tuple(point)
+            fresh = pt in self.outstanding
             self.outstanding.discard(pt)
-            self.strategy.rejected(pt)
+            if fresh:
+                self.strategy.rejected(pt)
 
     def best(self):
         with self.lock:

@@ -195,6 +195,13 @@ class NelderMead(_SimplexBase):
             if self._init_idx >= self.size:
                 self._phase = "search"
             return
+        if self._pending is None:
+            # stale report: NM hands its current test point to every
+            # fetching client; the first report consumed the pending
+            # trial, later duplicates only update the point DB
+            # (observe above). Session.report gates these off already —
+            # this guard keeps the raw-strategy ABI crash-free too.
+            return
 
         kind, coords = self._pending
         self._pending = None
