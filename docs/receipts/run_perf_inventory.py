@@ -230,7 +230,18 @@ def load_results():
                 continue
             key = (row.get("id"), row.get("algo"))
             if row.get("stale"):
-                rows.pop(key, None)
+                if row.get("before"):
+                    # dated retraction: drop only draws captured before
+                    # the given day (used to retire pre-methodology-fix
+                    # draws once the recapture landed, VERDICT r4 #3)
+                    kept = [r for r in rows.get(key, [])
+                            if r.get("t", "") >= row["before"]]
+                    if kept:
+                        rows[key] = kept
+                    else:
+                        rows.pop(key, None)
+                else:
+                    rows.pop(key, None)
                 continue
             if row.get("unreliable"):
                 continue

@@ -263,7 +263,6 @@ def main(argv=None):
             im = jax.device_put(
                 rng.standard_normal(in_shape).astype(np.float32))
 
-            @jax.jit
             def fn(r, i):
                 return (jnp.fft.irfftn(jax.lax.complex(r, i),
                                        s=shape[-3:]),)
@@ -271,7 +270,6 @@ def main(argv=None):
         elif ns.r2c:
             xla_fn = "rfftn"
 
-            @jax.jit
             def fn(r):
                 y = jnp.fft.rfftn(r)
                 return jnp.real(y), jnp.imag(y)
@@ -281,16 +279,28 @@ def main(argv=None):
             im = jax.device_put(rng.standard_normal(shape).astype(np.float32))
 
             if ns.inverse:
-                @jax.jit
                 def fn(r, i):
                     y = jnp.fft.ifftn(jax.lax.complex(r, i))
                     return jnp.real(y), jnp.imag(y)
             else:
-                @jax.jit
                 def fn(r, i):
                     y = jnp.fft.fftn(jax.lax.complex(r, i))
                     return jnp.real(y), jnp.imag(y)
             args = (re, im)
+        jit_kw = {}
+        if mesh is not None and len(shape) == 3:
+            # distributed cross-check: feed XLA the SAME pencil-sharded
+            # inputs the offt plan takes and let GSPMD insert its own
+            # collectives — an independent distributed FFT running
+            # in-driver, the analogue of the reference's P3DFFT/2DECOMP
+            # comparisons (run-fft.c:312-353; the jaxdecomp branch stays
+            # gated for environments that have it)
+            from offt_tpu.dist.mesh import input_sharding, output_sharding
+            ish = (output_sharding(mesh, 3) if ns.inverse
+                   else input_sharding(mesh, 3))
+            jit_kw["in_shardings"] = tuple(ish for _ in args)
+            xla_fn += "@mesh"
+        fn = jax.jit(fn, **jit_kw)
         t_init = time.time() - t_init0
         t, ok = _bench_chained(fn, args, ns.reps)
         _summary(ns, shape, flops, t, t_init=t_init, reliable=ok,

@@ -32,8 +32,11 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import dft
 from . import pallas_fft as pf
@@ -85,35 +88,169 @@ def _twiddle_planar(n1: int, n2: int, inverse: bool, scale: float):
             np.ascontiguousarray(t.imag.astype(np.float32)))
 
 
+# --------------------------------------------------------------------------
+# fused kernels: the naive route is 4 HBM round trips (sublane FFT,
+# twiddle multiply, lane FFT, transpose copy). The twiddle is elementwise
+# in exactly step 1's output block layout -> fold it into that kernel's
+# epilogue (free VPU work under the MXU); and step 3's transpose sandwich
+# already PRODUCES the (n2, tb) transposed block in VMEM -> write it
+# directly into a (.., n2, n1) output instead of transposing back and
+# paying a separate XLA transpose pass. 4 round trips -> 2.
+# --------------------------------------------------------------------------
+
+
+def _step1tw_kernel(*refs, radices: tuple, ncore: int, precision: str,
+                    inverse: bool):
+    # data blocks (1, n1, TL); twiddle blocks (n1, TL)
+    xr_ref, xi_ref = refs[0], refs[1]
+    consts = [r[:] for r in refs[2:2 + ncore]]
+    twr, twi = refs[2 + ncore][:], refs[3 + ncore][:]
+    or_ref, oi_ref = refs[-2], refs[-1]
+    yr, yi = pf._core_apply(xr_ref[0], xi_ref[0], consts, radices,
+                            precision, inverse=inverse)
+    or_ref[0] = yr * twr - yi * twi
+    oi_ref[0] = yr * twi + yi * twr
+
+
+def _step3t_kernel(*refs, radices: tuple, precision: str, inverse: bool):
+    # in blocks (1, TB, n2); out blocks (1, n2, TB) — the transpose
+    # sandwich's natural product, written without transposing back
+    xr_ref, xi_ref = refs[0], refs[1]
+    consts = [r[:] for r in refs[2:-2]]
+    or_ref, oi_ref = refs[-2], refs[-1]
+    yr, yi = pf._core_apply(xr_ref[0].T, xi_ref[0].T, consts, radices,
+                            precision, inverse=inverse)
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+def _tile(n: int, target: int) -> int:
+    """Largest 128-multiple divisor of n at most ``target`` (n % 128 == 0
+    required by the caller)."""
+    t = max(128, min(n, target) & ~127)
+    while n % t:
+        t -= 128
+    return t
+
+
+def _step1_twiddle(xr3, xi3, n1, n2, rad1, inverse, precision, scale, block):
+    """Fused step 1+2: FFT_{n1} over sublanes with the four-step twiddle
+    (and all norm scaling) applied in the kernel epilogue."""
+    b = xr3.shape[0]
+    tl = block or _tile(n2, (1 << 18) // max(n1, 1))
+    if n2 % tl:
+        tl = _tile(n2, tl)
+    words = pf._stack_words(precision)
+    consts = [jnp.asarray(c) for c in
+              pf._core_tables(n1, rad1, inverse, 1.0, stacked=words)]
+    twr, twi = _twiddle_planar(n1, n2, inverse, scale)
+    tw = [jnp.asarray(twr), jnp.asarray(twi)]
+    kernel = functools.partial(_step1tw_kernel, radices=rad1,
+                               ncore=len(consts), precision=precision,
+                               inverse=inverse)
+    grid = (b, n2 // tl)
+    dspec = pl.BlockSpec((1, n1, tl), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    cspec = [pl.BlockSpec(c.shape, lambda i, j, c=c: (0,) * c.ndim,
+                          memory_space=pltpu.VMEM) for c in consts]
+    tspec = [pl.BlockSpec((n1, tl), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)] * 2
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[dspec, dspec] + cspec + tspec,
+        out_specs=(dspec, dspec),
+        out_shape=(jax.ShapeDtypeStruct((b, n1, n2), jnp.float32),) * 2,
+        interpret=pf._interpret(),
+        **pf._vmem_params(18 * n1 * tl * 4 + sum(c.nbytes for c in consts)
+                          + (1 << 20), grid_dims=2),
+    )(xr3, xi3, *consts, *tw)
+
+
+def _step3_transposed(zr3, zi3, n1, n2, rad2, inverse, precision, block):
+    """Fused step 3+4: FFT_{n2} over lanes, each block written TRANSPOSED
+    into a (B, n2, n1) output (k2-major = the natural four-step order)."""
+    b = zr3.shape[0]
+    tb = block or _tile(n1, (1 << 18) // max(n2, 1))
+    if n1 % tb:
+        tb = _tile(n1, tb)
+    words = pf._stack_words(precision)
+    consts = [jnp.asarray(c) for c in
+              pf._core_tables(n2, rad2, inverse, 1.0, stacked=words)]
+    kernel = functools.partial(_step3t_kernel, radices=rad2,
+                               precision=precision, inverse=inverse)
+    grid = (b, n1 // tb)
+    ispec = pl.BlockSpec((1, tb, n2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, n2, tb), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    cspec = [pl.BlockSpec(c.shape, lambda i, j, c=c: (0,) * c.ndim,
+                          memory_space=pltpu.VMEM) for c in consts]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[ispec, ispec] + cspec,
+        out_specs=(ospec, ospec),
+        out_shape=(jax.ShapeDtypeStruct((b, n2, n1), jnp.float32),) * 2,
+        interpret=pf._interpret(),
+        **pf._vmem_params(18 * tb * n2 * 4 + sum(c.nbytes for c in consts)
+                          + (1 << 20), grid_dims=2),
+    )(zr3, zi3, *consts)
+
+
+@pf._f32_trace
 def fft_four_step_planar(xr, xi, inverse: bool = False, split=None,
                          precision: str = pf.DEFAULT_PRECISION,
                          out_scale: float = 1.0, block: int = 0):
     """Planar long-1-D FFT along the LAST axis (numpy fft/ifft semantics;
-    inverse includes the 1/n scaling, split across the two sub-stages'
-    folded tables). Leading axes are batch."""
+    inverse includes the 1/n scaling, folded into the twiddle/tables).
+    Leading axes are batch.
+
+    Fast path (both factors 128-multiples): TWO fused Pallas passes —
+    step 1+2 (sublane FFT + twiddle epilogue) and step 3+4 (lane FFT with
+    transposed block writes) — i.e. 2 HBM round trips for the whole
+    transform. Other splits fall back to the 4-pass composition
+    (fft_sublane, twiddle, fft_last, XLA transpose)."""
     n = xr.shape[-1]
     sp = pick_split(n, split)
     if sp is None:
         raise ValueError(f"N={n} has no four-step split")
     n1, n2 = sp
     lead = xr.shape[:-1]
+    b = 1
+    for d in lead:
+        b *= int(d)
+    # all norm scaling rides the step-2 twiddle (free VPU epilogue);
+    # 1/n = 1/n1 * 1/n2 exactly in f32 for the pow2 splits, and the f64
+    # twiddle generation absorbs the product error elsewhere
+    scale = out_scale * ((1.0 / n) if inverse else 1.0)
+    words = pf._stack_words(precision)
+    rad1 = pf._pick_stages(n1, None, stacked=words)
+    rad2 = pf._pick_stages(n2, None, stacked=words)
+    import os
+    fused_env = os.environ.get("OFFT_FOURSTEP_FUSED", "1") != "0"  # A/B knob
+    if fused_env and n1 % 128 == 0 and n2 % 128 == 0 and rad1 and rad2:
+        xr3 = xr.reshape(b, n1, n2)
+        xi3 = xi.reshape(b, n1, n2)
+        zr, zi = _step1_twiddle(xr3, xi3, n1, n2, rad1, inverse,
+                                precision, scale, block)
+        zr, zi = _step3_transposed(zr, zi, n1, n2, rad2, inverse,
+                                   precision, block)
+        return zr.reshape(lead + (n,)), zi.reshape(lead + (n,))
     xr2 = xr.reshape(lead + (n1, n2))
     xi2 = xi.reshape(lead + (n1, n2))
-    # step 1: FFT_{n1} over sublanes; inverse folds 1/n1 into the tables
-    s1 = (1.0 / n1) if inverse else 1.0
+    # step 1: FFT_{n1} over sublanes
     yr, yi = pf.fft_sublane(xr2, xi2, axis=xr2.ndim - 2, inverse=inverse,
-                            precision=precision, scale=s1,
-                            block_lanes=block)
-    # step 2: twiddle (+ the caller's norm scale, folded here for free)
-    tr, ti = _twiddle_planar(n1, n2, inverse, out_scale)
+                            precision=precision, block_lanes=block)
+    # step 2: twiddle (+ ALL scaling, folded here for free)
+    tr, ti = _twiddle_planar(n1, n2, inverse, scale)
     tr = jnp.asarray(tr)
     ti = jnp.asarray(ti)
     zr = yr * tr - yi * ti
     zi = yr * ti + yi * tr
-    # step 3: FFT_{n2} over lanes; inverse folds 1/n2
-    s2 = (1.0 / n2) if inverse else 1.0
+    # step 3: FFT_{n2} over lanes
     zr, zi = pf.fft_last(zr, zi, inverse=inverse, precision=precision,
-                         scale=s2, block_rows=block)
+                         block_rows=block)
     # step 4: Z[k1, k2] = X[k1 + n1*k2] -> transpose, ravel
     zr = jnp.swapaxes(zr, -1, -2).reshape(lead + (n,))
     zi = jnp.swapaxes(zi, -1, -2).reshape(lead + (n,))

@@ -179,11 +179,16 @@ def default_params(spec: ProblemSpec, p1: Optional[int] = None) -> PlanParams:
             if jax.default_backend() == "tpu":
                 # the z axis may alternatively ride the four-step long-1-D
                 # route (kernels/fourstep.py, last-axis c2c only) — that
-                # is what makes degenerate (1, 1, 2^20) plans fused
+                # is what makes degenerate (1, 1, 2^20) plans fused. Real
+                # transforms run a HALF-length inner c2c (packed even-N
+                # split, kernels/rfft.py), so the gate keys on nz // 2.
                 zok = can_use_pallas(nz)
-                if not zok and not spec.real:
+                if not zok:
                     from ..kernels.fourstep import can_use_four_step
-                    zok = can_use_four_step(nz)
+                    if spec.real and nz % 2 == 0:
+                        zok = can_use_four_step(nz // 2)
+                    elif not spec.real:
+                        zok = can_use_four_step(nz)
                 if zok and can_use_pallas(nx) and can_use_pallas(ny):
                     use_pallas = 1
         except Exception:

@@ -53,6 +53,18 @@ def test_runfft_mesh():
     assert rec["gflops"] > 0
 
 
+def test_runfft_xla_sharded_crosscheck():
+    """-a xla on a mesh runs GSPMD's own distributed FFT over the SAME
+    pencil-sharded inputs — the in-driver third-party comparison
+    (run-fft.c:312-353 analogue that actually executes here)."""
+    out = run_cli(["bench", "-N", "16", "-a", "xla", "--p1", "2",
+                   "--p2", "4", "-r", "1"])
+    assert out.returncode == 0, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["xla_fn"] == "fftn@mesh"
+    assert rec["gflops"] > 0
+
+
 def test_runfft_numpy_baseline():
     out = run_cli(["bench", "-N", "16", "-a", "numpy", "-r", "1"])
     assert out.returncode == 0

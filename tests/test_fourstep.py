@@ -177,6 +177,22 @@ def test_plan_long_1d_grad():
     assert _rel(g, 2.0 * n * np.conj(x)) < 5e-6
 
 
+def test_plan_long_1d_rfft_irfft():
+    """Real transforms ride the four-step route through the packed
+    half-length inner c2c (kernels/rfft.py even-N split)."""
+    n = 1 << 16
+    rng = np.random.default_rng(15)
+    x = rng.standard_normal((1, 1, n)).astype(np.float32)
+    p = plan((1, 1, n), real=True, params=_plan_params(), use_cache=False)
+    y = np.asarray(p(x)).ravel()
+    ref = np.fft.rfft(x.ravel())
+    assert _rel(y, ref) < TOL
+    pi = plan((1, 1, n), real=True, inverse=True, params=_plan_params(),
+              use_cache=False)
+    z = np.asarray(pi(ref.reshape(1, 1, -1).astype(np.complex64))).ravel()
+    assert _rel(z, np.fft.irfft(ref, n)) < TOL
+
+
 # ---------------------------------------------------------------- knob rules
 
 def _spec(shape, real=False):
