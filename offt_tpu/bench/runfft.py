@@ -61,6 +61,9 @@ def _parse_args(argv=None):
     p.add_argument("--radix-x", default=None)
     p.add_argument("--x-tile", default=None,
                    help="stride-padded x-kernel tile, e.g. 8,128")
+    p.add_argument("--split-1d", default=None,
+                   help="four-step (n1,n2) split for long degenerate 1-D "
+                        "plans, e.g. 1024,1024 (kernels/fourstep.py)")
     p.add_argument("--verify", action="store_true",
                    help="check output vs numpy (golden input)")
     p.add_argument("--breakdown", action="store_true",
@@ -171,7 +174,8 @@ def main(argv=None):
                   "block_batch", "slab_rows")
                  if getattr(ns, k) is not None}
     for flag, key in (("radix_z", "radix_z"), ("radix_y", "radix_y"),
-                      ("radix_x", "radix_x"), ("x_tile", "x_tile")):
+                      ("radix_x", "radix_x"), ("x_tile", "x_tile"),
+                      ("split_1d", "split_1d")):
         v = getattr(ns, flag)
         if v:
             overrides[key] = tuple(int(t) for t in v.split(","))
