@@ -164,10 +164,109 @@ def run_shape(key, shape, nm_trials, rand_trials):
          "t": time.strftime("%Y-%m-%dT%H:%M:%S")})
 
 
+def _best_point_of(key):
+    """Recover the winning PlanParams for a receipted shape from the
+    sweep's own logs (nm/random tune_done rows or the brute rows)."""
+    from offt_tpu.plan.cache import _params_from_json
+    from offt_tpu.plan.params import PlanParams, ProblemSpec, default_params
+
+    verdict = None
+    brute = []
+    with open(OUT) as fh:
+        for ln in fh:
+            try:
+                row = json.loads(ln)
+            except ValueError:
+                continue
+            if row.get("key") != key:
+                continue
+            if row.get("stage") == "brute":
+                brute.append(row)
+            if "verdict" in row and "confirmed" not in row:
+                verdict = row
+    if verdict is None:
+        return None, None, None
+    shape = tuple(verdict["shape"])
+    cands = {"nm": verdict.get("nm_best_ms"),
+             "rand": verdict.get("rand_best_ms"),
+             "brute": verdict.get("brute_best_ms")}
+    src = min((k for k in cands if cands[k] is not None), key=lambda k: cands[k])
+    if src == "brute":
+        b = min(brute, key=lambda r: r["ms"])
+        spec = ProblemSpec(shape=shape, dtype="complex64")
+        p = default_params(spec).replace(
+            radix_z=tuple(b["radix_z"]) if b.get("radix_z") else None,
+            block_batch=b.get("block", 0) or 0,
+            split_1d=tuple(b["split_1d"]) if b.get("split_1d") else None,
+            use_pallas=1)
+        return shape, p, verdict
+    # nm/random: last tune_done row of the per-strategy event log
+    path = os.path.join(HERE, f"sat_{key}_{src}.jsonl")
+    best = None
+    with open(path) as fh:
+        for ln in fh:
+            try:
+                row = json.loads(ln)
+            except ValueError:
+                continue
+            if row.get("kind") == "tune_done" and row.get("best"):
+                best = row["best"]
+    return shape, (_params_from_json(best) if best else None), verdict
+
+
+def confirm(keys=None):
+    """Re-measure each receipted shape's claimed best against the default
+    INTERLEAVED in one session (d,b,d,b,d,b; median each) — kills the
+    min-over-draws jitter bias a 50-draw sweep bakes into its raw
+    verdict (the 0.295 ms artifact class, VERDICT r4 weak #1)."""
+    from offt_tpu.plan.api import plan as build_plan
+    from offt_tpu.plan.params import ProblemSpec, default_params
+    from offt_tpu.tune.tuner import _default_timer
+
+    timer = _default_timer()
+    for key in (keys or done_keys()):
+        shape, best_p, verdict = _best_point_of(key)
+        if shape is None or best_p is None:
+            print(f"# {key}: no recoverable best point", flush=True)
+            continue
+        spec = ProblemSpec(shape=shape, dtype="complex64")
+        dpl = build_plan(shape, "complex64", params=default_params(spec),
+                         use_cache=False, planar=True)
+        bpl = build_plan(shape, "complex64", params=best_p,
+                         use_cache=False, planar=True)
+        ds, bs = [], []
+        for _ in range(3):
+            ds.append(timer(dpl))
+            bs.append(timer(bpl))
+        dm = sorted(ds)[1]
+        bm = sorted(bs)[1]
+        speedup = dm / bm if bm > 0 else 0.0
+        spread = (max(ds) - min(ds)) / max(min(ds), 1e-12)
+        band = max(spread, 0.03)
+        if speedup >= 1.2:
+            v = "win"
+        elif speedup <= 1.0 + band:
+            v = "saturated"
+        else:
+            v = "headroom"
+        log({"key": key, "shape": list(shape), "stage": "confirmed",
+             "verdict": v, "confirmed": True, "speedup": round(speedup, 4),
+             "default_ms_draws": [d * 1e3 for d in ds],
+             "best_ms_draws": [b * 1e3 for b in bs],
+             "default_ms": dm * 1e3, "best_ms": bm * 1e3,
+             "best_params": str(best_p), "spread": round(spread, 4),
+             "raw_verdict": verdict.get("verdict"),
+             "t": time.strftime("%Y-%m-%dT%H:%M:%S")})
+    print("CONFIRM DONE", flush=True)
+
+
 def main():
     argv = sys.argv[1:]
     only = set(argv[argv.index("--only") + 1].split(",")) \
         if "--only" in argv else None
+    if "--confirm" in argv:
+        confirm(sorted(only) if only else None)
+        return
     redo = "--redo" in argv
     skip = set() if redo else done_keys()
     for key, (shape, nm_n, rd_n) in SHAPES.items():

@@ -162,8 +162,11 @@ def _step1_twiddle(xr3, xi3, n1, n2, rad1, inverse, precision, scale, block):
         out_specs=(dspec, dspec),
         out_shape=(jax.ShapeDtypeStruct((b, n1, n2), jnp.float32),) * 2,
         interpret=pf._interpret(),
-        **pf._vmem_params(18 * n1 * tl * 4 + sum(c.nbytes for c in consts)
-                          + (1 << 20), grid_dims=2),
+        # 4 data planes + 2 twiddle planes, all double-buffered, plus
+        # ~2 core-temp planes and headroom (real-Mosaic AOT measured
+        # 22.9M at (1024, 256) blocks — the 18x estimate under-shot)
+        **pf._vmem_params(26 * n1 * tl * 4 + sum(c.nbytes for c in consts)
+                          + (2 << 20), grid_dims=2),
     )(xr3, xi3, *consts, *tw)
 
 
@@ -193,8 +196,8 @@ def _step3_transposed(zr3, zi3, n1, n2, rad2, inverse, precision, block):
         out_specs=(ospec, ospec),
         out_shape=(jax.ShapeDtypeStruct((b, n2, n1), jnp.float32),) * 2,
         interpret=pf._interpret(),
-        **pf._vmem_params(18 * tb * n2 * 4 + sum(c.nbytes for c in consts)
-                          + (1 << 20), grid_dims=2),
+        **pf._vmem_params(26 * tb * n2 * 4 + sum(c.nbytes for c in consts)
+                          + (2 << 20), grid_dims=2),
     )(zr3, zi3, *consts)
 
 

@@ -87,6 +87,22 @@ def test_in_place_chain_is_fully_aliased(tpu_dev):
     assert tmp < _TEMP_CAP, f"in-place chain materialized {tmp} temp bytes"
 
 
+def test_fused_four_step_has_no_transpose_copy(tpu_dev):
+    """The fused long-1-D route (kernels/fourstep.py fast path) must emit
+    NO separate twiddle or transpose pass: step 3's transposed block
+    writes replace the XLA transpose copy (was: a full array temp).
+    Budget: well under one planar copy of the 2^20 array (4 MiB)."""
+    from offt_tpu.kernels import fourstep
+
+    n = 1 << 20
+    avals = (jax.ShapeDtypeStruct((1, 1, n), jnp.float32),) * 2
+    tmp = _temp_bytes(tpu_dev,
+                      lambda a, b: fourstep.fft_four_step_planar(a, b),
+                      avals)
+    assert tmp < 2 * (1 << 20), \
+        f"fused four-step materialized {tmp} temp bytes"
+
+
 def test_x64_session_still_compiles(tpu_dev):
     """An x64-enabled user session must not crash Pallas-path plans:
     gridded pallas_call does not legalize under jax_enable_x64 (a JAX
