@@ -119,13 +119,37 @@ def _bluestein_tables(n: int, dtype_name: str, inverse: bool):
 
 
 def _bluestein_last(x: jax.Array, inverse: bool, precision=None) -> jax.Array:
-    """Arbitrary-length FFT along the last axis via chirp-z (Bluestein)."""
+    """Arbitrary-length FFT along the last axis via chirp-z (Bluestein).
+
+    When the caller is on the Pallas path (a stacked ``precision`` only
+    arrives from Pallas-enabled plans) and the convolution length m is
+    kernel-expressible, the two inner pow2 transforms ride the fused
+    kernels — the 2-stage core for m <= 16384, the fused four-step route
+    beyond (kernels/fourstep.py) — instead of the unfused multi-stage
+    chain. Reference analogue: FFTW owns Bluestein's inner plans too
+    (setup_p1d sub-plans, offt-compute.c:329-489)."""
     n = x.shape[-1]
     a, bf, m = _bluestein_tables(n, str(x.dtype), inverse)
     a = jnp.asarray(a)
     bf = jnp.asarray(bf)
     pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
     xa = jnp.pad(x * a, pad)
+    if str(x.dtype) == "complex64" and precision in ("stack6", "stack3"):
+        from . import fourstep
+        from . import pallas_fft as pf
+
+        def _inner(v, inv):
+            if pf.can_use_pallas(m):
+                # fft_1d_complex(scale=True): inverse includes 1/m
+                return pf.fft_1d_complex(v, axis=-1, inverse=inv,
+                                         precision=precision)
+            yr, yi = fourstep.fft_four_step_planar(
+                jnp.real(v), jnp.imag(v), inverse=inv, precision=precision)
+            return jax.lax.complex(yr, yi)
+
+        if pf.can_use_pallas(m) or fourstep.can_use_four_step(m):
+            y = _inner(_inner(xa, False) * bf, True)  # 1/m inside
+            return y[..., :n] * a
     rad = dft.factorize(m)
     xf = _fft_last(xa, rad, inverse=False, precision=precision)
     yf = xf * bf

@@ -177,6 +177,20 @@ def test_plan_long_1d_grad():
     assert _rel(g, 2.0 * n * np.conj(x)) < 5e-6
 
 
+@pytest.mark.parametrize("n", [101, 10007])
+def test_plan_prime_bluestein_fused_inner(n):
+    """Prime-length plans (Bluestein) route the two inner pow2 convolution
+    transforms through the fused kernels when Pallas-enabled: the 2-stage
+    core at m <= 16384, four-step beyond (stockham._bluestein_last)."""
+    rng = np.random.default_rng(16)
+    x = _rand_c64(rng, (1, 1, n))
+    p = plan((1, 1, n), params=_plan_params(), use_cache=False)
+    assert _rel(np.asarray(p(x)).ravel(), np.fft.fft(x.ravel())) < TOL
+    pi = plan((1, 1, n), params=_plan_params(), inverse=True,
+              use_cache=False)
+    assert _rel(np.asarray(pi(x)).ravel(), np.fft.ifft(x.ravel())) < TOL
+
+
 def test_plan_long_1d_rfft_irfft():
     """Real transforms ride the four-step route through the packed
     half-length inner c2c (kernels/rfft.py even-N split)."""
