@@ -42,14 +42,30 @@ from . import dft
 from . import pallas_fft as pf
 
 
+# Measured split-ORDER wisdom (docs/receipts/splitorder_b16.jsonl, chip,
+# b=16 in-jit fori_loop timing; + the saturation confirm pass,
+# saturation.jsonl). The balance rule is strongly confirmed (the most
+# balanced pair wins at every receipted length, 8-40%), but the ORDER
+# within the winning pair is shape-specific with no clean model: 2^19
+# and 5*2^17 prefer small-first (the default, 10-13%), while 3*2^18 runs
+# (1024, 768) 1.74-1.83x faster than (768, 1024) single-transform (three
+# independent sessions) and 1.06x batched. Absorbing receipted order
+# wins here is the reference's own lifecycle — production tuning flows
+# into the default point (params_set_default, offt-compute.c:3127-3225).
+_MEASURED_SPLITS = {3 * (1 << 18): (1024, 768)}
+
+
 def pick_split(n: int, split=None):
     """Choose (n1, n2) with n1*n2 == n, both fused-kernel expressible, or
     None. An explicit ``split`` (the split_1d knob) is validated only.
 
-    Auto policy: balanced (minimizes total radix work sum over the four
-    stage radices), preferring a lane extent n2 that is a 128-multiple
-    (full lane tiles in both kernels) and n2 >= n1 (wider rows amortize
-    the step-3 transpose sandwich)."""
+    Auto policy: measured per-length wisdom first (_MEASURED_SPLITS);
+    otherwise most-balanced pair, preferring 128-multiple extents (full
+    lane tiles / whole sublane tiles in the two fused kernels) and
+    breaking the within-pair order tie small-first (n1 <= n2) — the
+    receipted default (splitorder_b16.jsonl). Both orders of every
+    divisor pair are candidates; the old picker never considered
+    n1 > n2, which is exactly where the 3*2^18 win lives."""
     if n <= 1:
         return None
     if split is not None:
@@ -58,17 +74,22 @@ def pick_split(n: int, split=None):
                 and pf.can_use_pallas(n1) and pf.can_use_pallas(n2)):
             return n1, n2
         return None
+    m = _MEASURED_SPLITS.get(n)
+    if m is not None and pf.can_use_pallas(m[0]) and pf.can_use_pallas(m[1]):
+        return m
     best = None
     for d in range(2, int(np.sqrt(n)) + 1):
         if n % d:
             continue
-        n1, n2 = d, n // d
-        if not (pf.can_use_pallas(n1) and pf.can_use_pallas(n2)):
-            continue
-        # rank: full lane tiles first, then balance (small n2/n1 ratio)
-        key = (0 if n2 % 128 == 0 else 1, n2 // n1)
-        if best is None or key < best[0]:
-            best = (key, (n1, n2))
+        for n1, n2 in ((d, n // d), (n // d, d)):
+            if not (pf.can_use_pallas(n1) and pf.can_use_pallas(n2)):
+                continue
+            # rank: full 128-tiles first (lane side weightier), then
+            # balance, then the small-first order default
+            key = (0 if n2 % 128 == 0 else 1, 0 if n1 % 128 == 0 else 1,
+                   max(n1, n2) / min(n1, n2), 0 if n1 <= n2 else 1)
+            if best is None or key < best[0]:
+                best = (key, (n1, n2))
     return best[1] if best else None
 
 

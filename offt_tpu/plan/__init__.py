@@ -9,10 +9,11 @@ from .params import (
     infeasible_reason,
     is_feasible,
     p1_candidates,
+    w_from_reference,
 )
 
 __all__ = [
     "Plan", "PlanParams", "ProblemSpec", "cache", "default_params",
     "fft3d", "ifft3d", "infeasible_reason", "irfft3d", "is_feasible",
-    "p1_candidates", "plan", "rfft3d",
+    "p1_candidates", "plan", "rfft3d", "w_from_reference",
 ]

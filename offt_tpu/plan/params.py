@@ -104,6 +104,29 @@ class PlanParams:
         return dataclasses.replace(self, **kw)
 
 
+def w_from_reference(W: int, unbounded: bool = False) -> int:
+    """Translate a reference W1/W2 window value (offt.h:78-79) into this
+    framework's ``w`` knob — the two are OFF BY ONE and naive cross-reading
+    mis-seeds tuners. The reference's W counts nonblocking exchanges issued
+    AHEAD of the chunk being completed (W=0 = blocking alltoall, the
+    no-overlap path); our ``w`` is the CAP on concurrently-live chunk
+    collectives enforced by optimization_barrier chaining
+    (dist/pencil.py:_window_tie), where ``w=0`` means NO cap (scheduling
+    left entirely to XLA's async scheduler, no reference analogue short of
+    W=T). A cap of ``w`` live chunks is the completing chunk plus ``w-1``
+    issued ahead, so ``w = W + 1``:
+
+        reference W=0 (blocking)   -> w=1
+        reference W=2 (paper pick) -> w=3
+        unbounded                  -> w=0
+    """
+    if unbounded:
+        return 0
+    if W < 0:
+        raise ValueError(f"reference W must be >= 0, got {W}")
+    return int(W) + 1
+
+
 def divisors(n: int) -> list[int]:
     ds = [d for d in range(1, int(math.isqrt(n)) + 1) if n % d == 0]
     return sorted(set(ds + [n // d for d in ds]))

@@ -51,6 +51,29 @@ def test_pick_split_prefers_lane_multiples():
     assert n2 % 128 == 0
 
 
+def test_pick_split_measured_order_wisdom():
+    # within-pair ORDER is measured wisdom (splitorder_b16.jsonl): 3*2^18
+    # runs (1024, 768) 1.74-1.83x faster single-transform (1.06x batched)
+    # than the small-first default — the one receipted large-first length;
+    # the other receipted lengths keep small-first
+    assert fourstep.pick_split(3 * (1 << 18)) == (1024, 768)
+    assert fourstep.pick_split(1 << 19) == (512, 1024)
+    assert fourstep.pick_split(5 * (1 << 17)) == (640, 1024)
+    assert fourstep.pick_split(1 << 20) == (1024, 1024)
+    # both orders are reachable: when only the REVERSED order gives the
+    # lane side a 128-multiple, the picker takes n1 > n2
+    n1, n2 = fourstep.pick_split(20480)  # pairs {128, 160}
+    assert (n1, n2) == (160, 128)
+    # numerics of the measured-order pick match numpy (the order is a
+    # pure perf knob)
+    rng = np.random.default_rng(11)
+    n = 3 * (1 << 18)
+    x = _rand_c64(rng, (1, n))
+    yr, yi = fourstep.fft_four_step_planar(jnp.real(x), jnp.imag(x))
+    assert _rel(np.asarray(yr) + 1j * np.asarray(yi),
+                np.fft.fft(x, axis=-1)) < TOL
+
+
 def test_pick_split_explicit_validated():
     assert fourstep.pick_split(1 << 16, (256, 256)) == (256, 256)
     assert fourstep.pick_split(1 << 16, (3, 100)) is None      # wrong product

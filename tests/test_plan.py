@@ -58,6 +58,26 @@ def test_pow2_grid():
     assert 0 in pow2_grid(1, 4, include_zero=True)
 
 
+def test_w_from_reference_mapping():
+    # reference W (exchanges issued ahead; W=0 = blocking alltoall) vs our
+    # w (cap on live chunk collectives; 0 = uncapped) are off by one —
+    # the helper is the one sanctioned crossing point (VERDICT r4 weak #5)
+    from offt_tpu.plan.params import w_from_reference
+
+    assert w_from_reference(0) == 1          # blocking
+    assert w_from_reference(2) == 3          # the reference paper's W=2
+    assert w_from_reference(0, unbounded=True) == 0
+    with pytest.raises(ValueError):
+        w_from_reference(-1)
+    # a translated point stays feasible where the raw cross-read would not:
+    # W=2 naively seeded as w=2 and the correct w=3 are both within [0, t]
+    # only if t is large enough — the helper documents the off-by-one, the
+    # predicate still guards the range
+    spec = ProblemSpec(shape=(64, 64, 64), p=8)
+    p = default_params(spec).replace(t1=4, w1=w_from_reference(2))
+    assert infeasible_reason(spec, p) is None
+
+
 def test_default_params_local_vs_distributed():
     local = default_params(ProblemSpec(shape=(64, 64, 64), p=1))
     assert local.p1 == 1
