@@ -55,7 +55,7 @@ from . import pallas_fft as pf
 _MEASURED_SPLITS = {3 * (1 << 18): (1024, 768)}
 
 
-def pick_split(n: int, split=None):
+def pick_split(n: int, split=None, divisor: int = 1):
     """Choose (n1, n2) with n1*n2 == n, both fused-kernel expressible, or
     None. An explicit ``split`` (the split_1d knob) is validated only.
 
@@ -65,24 +65,33 @@ def pick_split(n: int, split=None):
     breaking the within-pair order tie small-first (n1 <= n2) — the
     receipted default (splitorder_b16.jsonl). Both orders of every
     divisor pair are candidates; the old picker never considered
-    n1 > n2, which is exactly where the 3*2^18 win lives."""
+    n1 > n2, which is exactly where the 3*2^18 win lives.
+
+    ``divisor``: additionally require divisor | n1 and divisor | n2 —
+    the distributed four-step engine (dist/long1d.py) shards both
+    matrix axes over the device count, so its exchanges need equal
+    static shards on each."""
     if n <= 1:
         return None
+
+    def _ok(a, b):
+        return (a > 1 and b > 1 and a % divisor == 0 and b % divisor == 0
+                and pf.can_use_pallas(a) and pf.can_use_pallas(b))
+
     if split is not None:
         n1, n2 = int(split[0]), int(split[1])
-        if (n1 > 1 and n2 > 1 and n1 * n2 == n
-                and pf.can_use_pallas(n1) and pf.can_use_pallas(n2)):
+        if n1 * n2 == n and _ok(n1, n2):
             return n1, n2
         return None
     m = _MEASURED_SPLITS.get(n)
-    if m is not None and pf.can_use_pallas(m[0]) and pf.can_use_pallas(m[1]):
+    if m is not None and _ok(m[0], m[1]):
         return m
     best = None
     for d in range(2, int(np.sqrt(n)) + 1):
         if n % d:
             continue
         for n1, n2 in ((d, n // d), (n // d, d)):
-            if not (pf.can_use_pallas(n1) and pf.can_use_pallas(n2)):
+            if not _ok(n1, n2):
                 continue
             # rank: full 128-tiles first (lane side weightier), then
             # balance, then the small-first order default
@@ -154,9 +163,16 @@ def _tile(n: int, target: int) -> int:
     return t
 
 
-def _step1_twiddle(xr3, xi3, n1, n2, rad1, inverse, precision, scale, block):
+def _step1_twiddle(xr3, xi3, n1, n2, rad1, inverse, precision, scale, block,
+                   tw=None):
     """Fused step 1+2: FFT_{n1} over sublanes with the four-step twiddle
-    (and all norm scaling) applied in the kernel epilogue."""
+    (and all norm scaling) applied in the kernel epilogue.
+
+    ``tw``: optional caller-supplied (twr, twi) planar pair of shape
+    (n1, n2) REPLACING the internally-built table — the distributed
+    engine (dist/long1d.py) passes each device's column chunk of the
+    global twiddle this way (``scale`` is then ignored; the caller
+    folds all scaling into its table)."""
     b = xr3.shape[0]
     tl = block or _tile(n2, (1 << 18) // max(n1, 1))
     if n2 % tl:
@@ -164,8 +180,11 @@ def _step1_twiddle(xr3, xi3, n1, n2, rad1, inverse, precision, scale, block):
     words = pf._stack_words(precision)
     consts = [jnp.asarray(c) for c in
               pf._core_tables(n1, rad1, inverse, 1.0, stacked=words)]
-    twr, twi = _twiddle_planar(n1, n2, inverse, scale)
-    tw = [jnp.asarray(twr), jnp.asarray(twi)]
+    if tw is None:
+        twr, twi = _twiddle_planar(n1, n2, inverse, scale)
+        tw = [jnp.asarray(twr), jnp.asarray(twi)]
+    else:
+        tw = [jnp.asarray(tw[0]), jnp.asarray(tw[1])]
     kernel = functools.partial(_step1tw_kernel, radices=rad1,
                                ncore=len(consts), precision=precision,
                                inverse=inverse)
@@ -220,6 +239,30 @@ def _step3_transposed(zr3, zi3, n1, n2, rad2, inverse, precision, block):
         **pf._vmem_params(26 * tb * n2 * 4 + sum(c.nbytes for c in consts)
                           + (2 << 20), grid_dims=2),
     )(zr3, zi3, *consts)
+
+
+@pf._f32_trace
+def step12_planar(xr3, xi3, rad1, inverse: bool, precision: str, tw,
+                  block: int = 0):
+    """Distributed-shard step 1+2: FFT over sublanes of (B, n1, n2_local)
+    planar arrays with the caller's twiddle COLUMN CHUNK (n1, n2_local)
+    applied in the kernel epilogue. All norm scaling must already be
+    folded into ``tw`` (dist/long1d.py builds it per-device-sharded)."""
+    b, n1, n2l = xr3.shape
+    return _step1_twiddle(xr3, xi3, n1, n2l, rad1, inverse, precision,
+                          1.0, block, tw=tw)
+
+
+@pf._f32_trace
+def step34_planar(zr3, zi3, rad2, inverse: bool, precision: str,
+                  block: int = 0):
+    """Distributed-shard step 3+4: FFT over lanes of (B, n1_local, n2)
+    planar arrays, blocks written TRANSPOSED into (B, n2, n1_local) —
+    the same fused transpose-sandwich kernel as the local route. NO
+    inverse 1/n scaling here (the caller's twiddle carries it)."""
+    b, n1l, n2 = zr3.shape
+    return _step3_transposed(zr3, zi3, n1l, n2, rad2, inverse, precision,
+                             block)
 
 
 @pf._f32_trace

@@ -157,6 +157,9 @@ class Plan:
     planar: bool = False
     _in_planar: bool = False
     _dfn: Optional[callable] = dataclasses.field(repr=False, default=None)
+    # non-pencil layouts (the distributed 1-D engine's natural-order flat
+    # shardings): when set, overrides the pencil input/output properties
+    _shards: Optional[tuple] = dataclasses.field(repr=False, default=None)
 
     def __call__(self, x, x_imag=None):
         fn = self._dfn or self._fn
@@ -172,6 +175,8 @@ class Plan:
     def input_sharding(self):
         if self.mesh is None:
             return None
+        if self._shards is not None:
+            return self._shards[0]
         return (meshlib.output_sharding(self.mesh, self.ndim)
                 if self.spec.inverse
                 else meshlib.input_sharding(self.mesh, self.ndim))
@@ -180,6 +185,8 @@ class Plan:
     def output_sharding(self):
         if self.mesh is None:
             return None
+        if self._shards is not None:
+            return self._shards[1]
         return (meshlib.input_sharding(self.mesh, self.ndim)
                 if self.spec.inverse
                 else meshlib.output_sharding(self.mesh, self.ndim))
@@ -404,7 +411,8 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                         slab_rows=params.slab_rows, packed=packed,
                         x_tile=params.x_tile)
                 return jax.jit(_scaled(fwd),
-                               donate_argnums=(0,) if donate else ()), False
+                               donate_argnums=(0,) if donate else ()), \
+                    False, None
             def inv(re, im):
                 return pf.irfft3d_planar(
                     re, im, nz, rad_z=params.radix_z, rad_y=params.radix_y,
@@ -412,7 +420,8 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                     slab_rows=params.slab_rows, packed=packed,
                     x_tile=params.x_tile)
             return jax.jit(_scaled(inv),
-                           donate_argnums=(0, 1) if donate else ()), True
+                           donate_argnums=(0, 1) if donate else ()), \
+                True, None
 
     # planar-native fast path: local c2c with fused kernels never touches a
     # complex dtype at all (zero conversion passes)
@@ -434,14 +443,33 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
                     out_scale=out_scale, x_tile=params.x_tile,
                     in_place=in_place)
             return jax.jit(fn,
-                           donate_argnums=(0, 1) if donate else ()), True
+                           donate_argnums=(0, 1) if donate else ()), \
+                True, None
     if in_place:
         raise ValueError("in_place: shape/radix config is not eligible "
                          "for the fused planar c2c kernels")
+
+    # distributed long-1-D: a degenerate (1, 1, n) c2c plan on a mesh
+    # rides the four-step engine over ALL devices (dist/long1d.py) when
+    # a P-divisible split exists — natural-order flat in/out shardings
+    # (NOT the pencil layouts; returned so the Plan reports them)
+    if (mesh is not None and not spec.real and not spec.batch_sharded
+            and spec.shape[0] == 1 and spec.shape[1] == 1):
+        from ..dist.long1d import make_dist_fft1d
+        built = make_dist_fft1d(mesh, spec.shape[2], ndim, params,
+                                spec.inverse, dtype=spec.dtype,
+                                out_scale=out_scale)
+        if built is not None:
+            raw_fn, in_shard, out_shard = built
+            fn, in_planar = _jit_plan_fn(spec, raw_fn, in_shard, out_shard,
+                                         planar, donate=donate)
+            return fn, in_planar, (in_shard, out_shard)
+
     raw_fn, in_shard, out_shard = _build_raw(spec, params, mesh, ndim,
                                              packed=packed)
-    return _jit_plan_fn(spec, _scaled(raw_fn), in_shard, out_shard, planar,
-                        donate=donate)
+    fn, in_planar = _jit_plan_fn(spec, _scaled(raw_fn), in_shard, out_shard,
+                                 planar, donate=donate)
+    return fn, in_planar, None
 
 
 def _norm_scale(norm: str, inverse: bool, total: int) -> float:
@@ -572,9 +600,9 @@ def plan(
                              f"ny*nz = {shape[1] * shape[2]} exceeds the "
                              "VMEM slab ceiling or an axis is not "
                              "2-stage expressible")
-    fn, in_planar = _build_fn(spec, params, mesh, ndim, planar=planar,
-                              out_scale=scale, packed=packed, donate=donate,
-                              in_place=in_place)
+    fn, in_planar, shards = _build_fn(spec, params, mesh, ndim, planar=planar,
+                                      out_scale=scale, packed=packed,
+                                      donate=donate, in_place=in_place)
     from .autodiff import wrap_plan_fn
     dfn = wrap_plan_fn(fn, shape=tuple(shape), dtype=spec.dtype, mesh=mesh,
                        real=real, inverse=inverse, norm=norm,
@@ -583,7 +611,8 @@ def plan(
                        packed=packed, batch_sharded=batch_sharded,
                        params=params, in_place=in_place)
     return Plan(spec=spec, params=params, mesh=mesh, ndim=ndim, _fn=fn,
-                planar=planar, _in_planar=in_planar, _dfn=dfn)
+                planar=planar, _in_planar=in_planar, _dfn=dfn,
+                _shards=shards)
 
 
 # ---- one-shot conveniences (plans are cached per call-signature by jit) ----

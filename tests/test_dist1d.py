@@ -1,0 +1,174 @@
+"""Distributed long-1-D FFT (dist/long1d.py): the four-step engine over
+the mesh — natural-order in/out, three tunable exchanges, fused local
+kernels. No reference analogue (its 1-D engines are local FFTW
+sub-plans, setup_p1d offt-compute.c:329-489); accuracy bars are the
+project conventions (1e-6 fp32 / 1e-12 fp64 vs numpy.fft)."""
+
+import numpy as np
+import pytest
+
+import offt_tpu
+from offt_tpu.dist import make_mesh
+from offt_tpu.dist.long1d import dist1d_split, make_dist_fft1d
+from offt_tpu.plan.api import plan
+from offt_tpu.plan.params import PlanParams
+
+
+def _cx(rng, n, dtype=np.complex64):
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    return x.astype(dtype)
+
+
+@pytest.mark.parametrize("p1,p2", [(2, 4), (1, 8), (8, 1)])
+def test_dist1d_forward_matches_numpy(p1, p2):
+    mesh = make_mesh(p1, p2)
+    n = 4096
+    x = _cx(np.random.default_rng(0), n).reshape(1, 1, n)
+    p = plan((1, 1, n), "complex64", mesh=mesh)
+    assert p._shards is not None, "plan did not route to the dist-1d engine"
+    got = np.asarray(p(x))[0, 0]
+    want = np.fft.fft(x[0, 0])
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-6
+
+
+def test_dist1d_inverse_roundtrip_and_norms():
+    mesh = make_mesh(2, 4)
+    n = 4096
+    x = _cx(np.random.default_rng(1), n).reshape(1, 1, n)
+    for norm in (None, "ortho", "forward"):
+        pf_ = plan((1, 1, n), "complex64", mesh=mesh, norm=norm)
+        pi = plan((1, 1, n), "complex64", mesh=mesh, norm=norm,
+                  inverse=True)
+        z = np.asarray(pi(pf_(x)))[0, 0]
+        err = np.linalg.norm(z - x[0, 0]) / np.linalg.norm(x[0, 0])
+        assert err < 1e-6, (norm, err)
+
+
+def test_dist1d_inverse_matches_numpy_ifft():
+    mesh = make_mesh(2, 4)
+    n = 4096
+    x = _cx(np.random.default_rng(2), n).reshape(1, 1, n)
+    pi = plan((1, 1, n), "complex64", mesh=mesh, inverse=True)
+    got = np.asarray(pi(x))[0, 0]
+    want = np.fft.ifft(x[0, 0])
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-6
+
+
+@pytest.mark.parametrize("s1,s2,v", [(1, 1, 0), (0, 0, 3), (1, 0, 1)])
+def test_dist1d_exchange_strategies(s1, s2, v):
+    """Every (s, v) exchange-strategy combination computes the same
+    spectrum (ring ppermute, gather+slice, mixed)."""
+    mesh = make_mesh(2, 4)
+    n = 4096
+    x = _cx(np.random.default_rng(3), n).reshape(1, 1, n)
+    p = plan((1, 1, n), "complex64", mesh=mesh,
+             params=PlanParams(s1=s1, s2=s2, v=v))
+    got = np.asarray(p(x))[0, 0]
+    want = np.fft.fft(x[0, 0])
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-6
+
+
+def test_dist1d_fused_kernels_2pow20():
+    """The fused two-kernel local path (every LOCAL extent a 128
+    multiple): n = 2^20 on 8 devices -> (1024, 1024) split, local
+    shards 128 wide on both exchanges. x64 is on in this suite, so
+    this also pins the _f32_trace guard on the step kernels."""
+    mesh = make_mesh(2, 4)
+    n = 1 << 20
+    x = _cx(np.random.default_rng(4), n).reshape(1, 1, n)
+    pp = PlanParams(use_pallas=1, precision="stack6")
+    p = plan((1, 1, n), "complex64", mesh=mesh, params=pp)
+    got = np.asarray(p(x))[0, 0]
+    want = np.fft.fft(x[0, 0])
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-6
+
+
+def test_dist1d_fp64():
+    mesh = make_mesh(2, 4)
+    n = 4096
+    x = _cx(np.random.default_rng(5), n, np.complex128).reshape(1, 1, n)
+    p = plan((1, 1, n), "complex128", mesh=mesh)
+    got = np.asarray(p(x))[0, 0]
+    want = np.fft.fft(x[0, 0])
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+
+
+def test_dist1d_batch_dims():
+    mesh = make_mesh(2, 4)
+    n = 4096
+    rng = np.random.default_rng(6)
+    xb = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n)))
+    xb = xb.astype(np.complex64).reshape(3, 1, 1, n)
+    p = plan((1, 1, n), "complex64", mesh=mesh, batch_dims=1)
+    got = np.asarray(p(xb))[:, 0, 0]
+    want = np.fft.fft(xb[:, 0, 0], axis=-1)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-6
+
+
+def test_dist1d_natural_sharding_reported():
+    """Input and output are BOTH flat natural order — the Plan reports
+    the last-axis-over-all-devices sharding, not a pencil layout."""
+    from jax.sharding import PartitionSpec as P
+    mesh = make_mesh(2, 4)
+    n = 4096
+    p = plan((1, 1, n), "complex64", mesh=mesh)
+    assert p.input_sharding.spec == P(None, None, ("row", "col"))
+    assert p.output_sharding.spec == P(None, None, ("row", "col"))
+    # and the executed output actually lands in that sharding
+    x = _cx(np.random.default_rng(7), n).reshape(1, 1, n)
+    y = p(x)
+    assert y.sharding.is_equivalent_to(p.output_sharding, 3)
+
+
+def test_dist1d_split_divisibility_gate():
+    """dist1d_split requires P | n1 and P | n2; an explicit split_1d
+    violating that falls back (plan still works, degenerate pencil)."""
+    mesh = make_mesh(2, 4)
+    # 2^12 with P=8: a P-divisible pair exists (picker prefers the
+    # 128-multiple lane extent: (32, 128))
+    assert dist1d_split(mesh, 4096, PlanParams()) == (32, 128)
+    # explicit split with n1 not divisible by 8 -> ineligible
+    assert dist1d_split(mesh, 4096, PlanParams(split_1d=(4, 1024))) is None
+    # prime-ish length with no valid pair -> ineligible, plan falls back
+    n = 2 * 1949  # 2 * prime: no P-divisible split
+    assert dist1d_split(mesh, n, PlanParams()) is None
+    x = _cx(np.random.default_rng(8), n).reshape(1, 1, n)
+    p = plan((1, 1, n), "complex64", mesh=mesh)
+    assert p._shards is None  # pencil fallback
+    got = np.asarray(p(x))[0, 0]
+    want = np.fft.fft(x[0, 0])
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-6
+
+
+def test_dist1d_golden_dc_bin():
+    """DC bin = exact sum of inputs (the golden-check discipline,
+    run-fft.c:46-126)."""
+    mesh = make_mesh(2, 4)
+    n = 4096
+    x = np.arange(n, dtype=np.float64).astype(np.complex64).reshape(1, 1, n)
+    p = plan((1, 1, n), "complex64", mesh=mesh)
+    got = np.asarray(p(x))[0, 0]
+    dc = got[0]
+    assert abs(dc - x.sum()) / abs(x.sum()) < 1e-6
+
+
+def test_dist1d_autodiff():
+    """grad flows through the distributed 1-D plan (linear-adjoint rule,
+    plan/autodiff.py) — the adjoint plan routes through the same engine."""
+    import jax
+    import jax.numpy as jnp
+    mesh = make_mesh(2, 4)
+    n = 4096
+    x = _cx(np.random.default_rng(9), n).reshape(1, 1, n)
+    p = plan((1, 1, n), "complex64", mesh=mesh, norm="ortho")
+
+    def loss(v):
+        return jnp.sum(jnp.abs(p(v)) ** 2)
+
+    g = np.asarray(jax.grad(loss, holomorphic=False)(jnp.asarray(x)))
+    # ortho FFT is unitary: d/dx* sum|Fx|^2 = (F^H F x)* ... = x (conj
+    # convention) up to JAX's grad convention — check against numerical
+    want = np.asarray(jax.grad(
+        lambda v: jnp.sum(jnp.abs(jnp.fft.fft(v, norm="ortho")) ** 2)
+    )(jnp.asarray(x)))
+    assert np.linalg.norm(g - want) / np.linalg.norm(want) < 1e-5
