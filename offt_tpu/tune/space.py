@@ -229,19 +229,24 @@ def _radix_candidates(n: int, limit: int = 12) -> tuple:
 def _split1d_candidates(spec, limit: int = 8) -> tuple:
     """Candidate (n1, n2) four-step splits for a degenerate (1, 1, N) c2c
     spec where the fused 2-stage kernel does not apply. None = the module
-    auto-pick (balanced, lane-multiple-preferring)."""
+    auto-pick (balanced, lane-multiple-preferring). Distributed specs
+    (p > 1) only emit P-divisible pairs — others would silently fall
+    back to the degenerate single-device path (dist/long1d.py), a
+    wasted trial measuring a different engine."""
     from ..kernels import fourstep
     from ..kernels import pallas_fft as pf
 
     n = spec.shape[2]
-    if spec.real or pf.can_use_pallas(n) or fourstep.pick_split(n) is None:
+    div = spec.p if spec.p > 1 else 1
+    if (spec.real or (div == 1 and pf.can_use_pallas(n))
+            or fourstep.pick_split(n, divisor=div) is None):
         return (None,)
     cands = [None]
     for d in range(2, int(n ** 0.5) + 1):
         if n % d:
             continue
         for n1, n2 in ((d, n // d), (n // d, d)):
-            sp = fourstep.pick_split(n, (n1, n2))
+            sp = fourstep.pick_split(n, (n1, n2), divisor=div)
             if sp is not None and sp not in cands:
                 cands.append(sp)
     # keep the most lane-friendly few: full lane tiles first, balanced next

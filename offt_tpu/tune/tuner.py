@@ -455,7 +455,11 @@ def tune(
         handle_by_params: dict = {}
         _exact_compile = compile_fn
 
-        use_trial = bool(fast_trial) and mesh is not None
+        # degenerate (1, 1, n) mesh plans route to the distributed 1-D
+        # engine (dist/long1d.py), whose cost structure the pencil phase
+        # trials do not model — tune those with exact full-plan timing
+        use_trial = (bool(fast_trial) and mesh is not None
+                     and tuple(shape[-3:-1]) != (1, 1))
         if use_trial:
             import jax.numpy as _jnp
             from jax.sharding import NamedSharding

@@ -152,6 +152,26 @@ def test_dist1d_golden_dc_bin():
     assert abs(dc - x.sum()) / abs(x.sum()) < 1e-6
 
 
+def test_dist1d_space_candidates_are_p_divisible():
+    """The tuner's split_1d dimension only offers P-divisible pairs for
+    distributed specs (a non-divisible pair silently falls back to the
+    single-device engine — a wasted trial)."""
+    from offt_tpu.plan.params import ProblemSpec
+    from offt_tpu.tune.space import _split1d_candidates
+    spec = ProblemSpec(shape=(1, 1, 65536), p=8)
+    cands = _split1d_candidates(spec)
+    assert len(cands) > 1
+    for c in cands[1:]:
+        assert c[0] % 8 == 0 and c[1] % 8 == 0, c
+    # single-device candidates for a locally-expressible length stay None
+    spec1 = ProblemSpec(shape=(1, 1, 4096), p=1)
+    assert _split1d_candidates(spec1) == (None,)
+    # ... but the SAME length distributed has candidates (the dist
+    # engine shards lengths the local fused kernel could handle alone)
+    spec8 = ProblemSpec(shape=(1, 1, 4096), p=8)
+    assert len(_split1d_candidates(spec8)) > 1
+
+
 def test_dist1d_autodiff():
     """grad flows through the distributed 1-D plan (linear-adjoint rule,
     plan/autodiff.py) — the adjoint plan routes through the same engine."""
