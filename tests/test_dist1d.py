@@ -83,6 +83,19 @@ def test_dist1d_fused_kernels_2pow20():
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-6
 
 
+def test_dist1d_non_pow2():
+    """Non-power-of-two length with a P-divisible split (3*2^16 on 8
+    devices) rides the engine; spectrum matches numpy."""
+    mesh = make_mesh(2, 4)
+    n = 3 * (1 << 16)
+    x = _cx(np.random.default_rng(10), n).reshape(1, 1, n)
+    p = plan((1, 1, n), "complex64", mesh=mesh)
+    assert p._shards is not None
+    got = np.asarray(p(x))[0, 0]
+    want = np.fft.fft(x[0, 0])
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-6
+
+
 def test_dist1d_fp64():
     mesh = make_mesh(2, 4)
     n = 4096
