@@ -449,16 +449,25 @@ def _build_fn(spec: ProblemSpec, params: PlanParams, mesh, ndim: int,
         raise ValueError("in_place: shape/radix config is not eligible "
                          "for the fused planar c2c kernels")
 
-    # distributed long-1-D: a degenerate (1, 1, n) c2c plan on a mesh
-    # rides the four-step engine over ALL devices (dist/long1d.py) when
-    # a P-divisible split exists — natural-order flat in/out shardings
-    # (NOT the pencil layouts; returned so the Plan reports them)
-    if (mesh is not None and not spec.real and not spec.batch_sharded
+    # distributed long-1-D: a degenerate (1, 1, n) plan on a mesh rides
+    # the four-step engine over ALL devices (dist/long1d.py) when a
+    # P-divisible split exists — natural-order flat in/out shardings
+    # (NOT the pencil layouts; returned so the Plan reports them). Real
+    # transforms ride the half-length c2c + distributed Hermitian
+    # untangle, in the packed layout only.
+    if (mesh is not None and not spec.batch_sharded
             and spec.shape[0] == 1 and spec.shape[1] == 1):
-        from ..dist.long1d import make_dist_fft1d
-        built = make_dist_fft1d(mesh, spec.shape[2], ndim, params,
-                                spec.inverse, dtype=spec.dtype,
-                                out_scale=out_scale)
+        built = None
+        if spec.real and packed:
+            from ..dist.long1d import make_dist_rfft1d
+            built = make_dist_rfft1d(mesh, spec.shape[2], ndim, params,
+                                     spec.inverse, dtype=spec.dtype,
+                                     out_scale=out_scale)
+        elif not spec.real:
+            from ..dist.long1d import make_dist_fft1d
+            built = make_dist_fft1d(mesh, spec.shape[2], ndim, params,
+                                    spec.inverse, dtype=spec.dtype,
+                                    out_scale=out_scale)
         if built is not None:
             raw_fn, in_shard, out_shard = built
             fn, in_planar = _jit_plan_fn(spec, raw_fn, in_shard, out_shard,
@@ -584,8 +593,15 @@ def plan(
                                  f"path (shape {shape} not eligible)")
         elif (shape[2] % 2
               or pf._pick_2stage(shape[2] // 2, params.radix_z) is None):
-            raise ValueError(f"packed layout needs Nz even with Nz/2 "
-                             f"2-stage expressible (got Nz={shape[2]})")
+            # degenerate (1, 1, n): the distributed 1-D real engine
+            # handles long even n via the half-length four-step instead
+            # of a 2-stage z kernel (dist/long1d.py)
+            from ..dist.long1d import dist1d_split
+            if not (shape[:2] == (1, 1) and shape[2] % 2 == 0
+                    and dist1d_split(mesh, shape[2] // 2, params)
+                    is not None):
+                raise ValueError(f"packed layout needs Nz even with Nz/2 "
+                                 f"2-stage expressible (got Nz={shape[2]})")
     if in_place:
         from ..kernels import pallas_fft as pf
         if (mesh is not None or real or not planar

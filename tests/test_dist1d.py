@@ -165,6 +165,88 @@ def test_dist1d_golden_dc_bin():
     assert abs(dc - x.sum()) / abs(x.sum()) < 1e-6
 
 
+def _unpack(got, n):
+    """Packed (M,) -> numpy (M+1,) half-spectrum layout."""
+    full = np.empty(n // 2 + 1, complex)
+    full[0] = got[0].real
+    full[-1] = got[0].imag
+    full[1:-1] = got[1:]
+    return full
+
+
+@pytest.mark.parametrize("p1,p2", [(2, 4), (1, 8)])
+def test_dist1d_rfft_packed_matches_numpy(p1, p2):
+    """Distributed 1-D r2c (half-length c2c + distributed Hermitian
+    untangle, packed layout) matches numpy.fft.rfft."""
+    mesh = make_mesh(p1, p2)
+    n = 8192
+    x = np.random.default_rng(20).standard_normal(n).astype(
+        np.float32).reshape(1, 1, n)
+    p = plan((1, 1, n), "complex64", mesh=mesh, real=True, planar=True,
+             packed=True)
+    assert p._shards is not None
+    yr, yi = p(x)
+    got = np.asarray(yr)[0, 0] + 1j * np.asarray(yi)[0, 0]
+    want = np.fft.rfft(x[0, 0])
+    err = np.linalg.norm(_unpack(got, n) - want) / np.linalg.norm(want)
+    assert err < 1e-6
+
+
+def test_dist1d_irfft_packed_roundtrip_and_norms():
+    mesh = make_mesh(2, 4)
+    n = 8192
+    x = np.random.default_rng(21).standard_normal(n).astype(
+        np.float32).reshape(1, 1, n)
+    for norm in (None, "ortho"):
+        pf_ = plan((1, 1, n), "complex64", mesh=mesh, real=True,
+                   planar=True, packed=True, norm=norm)
+        pi = plan((1, 1, n), "complex64", mesh=mesh, real=True,
+                  inverse=True, planar=True, packed=True, norm=norm)
+        back = np.asarray(pi(pf_(x)))[0, 0]
+        err = np.linalg.norm(back - x[0, 0]) / np.linalg.norm(x[0, 0])
+        assert err < 1e-6, (norm, err)
+
+
+def test_dist1d_rfft_fused_long():
+    """Long real transform (n = 2^21 -> half-length 2^20 rides the FUSED
+    distributed four-step on 8 devices) + c2r roundtrip."""
+    mesh = make_mesh(2, 4)
+    n = 1 << 21
+    x = np.random.default_rng(22).standard_normal(n).astype(
+        np.float32).reshape(1, 1, n)
+    pp = PlanParams(use_pallas=1, precision="stack6")
+    p = plan((1, 1, n), "complex64", mesh=mesh, real=True, planar=True,
+             packed=True, params=pp)
+    yr, yi = p(x)
+    got = np.asarray(yr)[0, 0] + 1j * np.asarray(yi)[0, 0]
+    want = np.fft.rfft(x[0, 0])
+    err = np.linalg.norm(_unpack(got, n) - want) / np.linalg.norm(want)
+    assert err < 1e-6
+    pi = plan((1, 1, n), "complex64", mesh=mesh, real=True, inverse=True,
+              planar=True, packed=True, params=pp)
+    back = np.asarray(pi((yr, yi)))[0, 0]
+    assert (np.linalg.norm(back - x[0, 0])
+            / np.linalg.norm(x[0, 0])) < 1e-6
+
+
+def test_dist1d_rfft_dc_and_nyquist_exact():
+    """Packed bin 0: DC = sum(x), Nyquist = sum(x * (-1)^j — the golden
+    anchor for the distributed untangle's boundary handling."""
+    mesh = make_mesh(2, 4)
+    n = 4096
+    x = np.random.default_rng(23).standard_normal(n).astype(
+        np.float32).reshape(1, 1, n)
+    p = plan((1, 1, n), "complex64", mesh=mesh, real=True, planar=True,
+             packed=True)
+    yr, yi = p(x)
+    dc = float(np.asarray(yr)[0, 0, 0])
+    ny = float(np.asarray(yi)[0, 0, 0])
+    want_dc = float(x.sum())
+    want_ny = float((x[0, 0] * (-1.0) ** np.arange(n)).sum())
+    assert abs(dc - want_dc) / abs(want_dc) < 1e-5
+    assert abs(ny - want_ny) / max(abs(want_ny), 1e-6) < 1e-4
+
+
 def test_dist1d_space_candidates_are_p_divisible():
     """The tuner's split_1d dimension only offers P-divisible pairs for
     distributed specs (a non-divisible pair silently falls back to the
