@@ -40,15 +40,59 @@ __all__ = [
     "fft2", "ifft2", "rfft2", "irfft2",
     "fftn", "ifftn", "rfftn", "irfftn",
     "fftshift", "ifftshift", "fftfreq", "rfftfreq",
+    "use_mesh",
 ]
 
 
 # ---- plan cache ----------------------------------------------------------
 
+# default mesh for every namespace transform (None = single device).
+# numpy has no such concept; this is the one deliberate surface
+# extension — numpy-style one-liners running distributed.
+_MESH = None
+
+
+class use_mesh:
+    """Route namespace transforms through a device mesh.
+
+    Context manager or plain setter::
+
+        with offt_tpu.fft.use_mesh(make_mesh(2, 4)):
+            X = offt_tpu.fft.fft(x)        # distributed long-1-D engine
+        offt_tpu.fft.use_mesh(mesh)        # sticky until use_mesh(None)
+
+    1-D c2c calls ride the distributed four-step engine
+    (dist/long1d.py) where a P-divisible split exists; 2-D/3-D groups
+    ride the pencil pipeline (prefer ``make_mesh(1, p)`` for 2-D — a
+    degenerate leading axis on a p1 > 1 mesh pads). Real transforms in
+    the numpy M+1 layout fall back to the degenerate single-device
+    path on (1, 1, n) shapes; use ``plan(real=True, packed=True)``
+    directly for the distributed real 1-D engine.
+    """
+
+    def __init__(self, mesh):
+        global _MESH
+        self._prev = _MESH
+        _MESH = mesh
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        global _MESH
+        _MESH = self._prev
+        return False
+
+
 @functools.lru_cache(maxsize=256)
-def _plan_cached(shape3, dtype, real, inverse, norm, batch_dims):
+def _plan_for_mesh(shape3, dtype, real, inverse, norm, batch_dims, mesh):
     return _api.plan(shape3, dtype, real=real, inverse=inverse,
-                     norm=norm, batch_dims=batch_dims)
+                     norm=norm, batch_dims=batch_dims, mesh=mesh)
+
+
+def _plan_cached(shape3, dtype, real, inverse, norm, batch_dims):
+    return _plan_for_mesh(shape3, dtype, real, inverse, norm, batch_dims,
+                          _MESH)
 
 
 def _cname(dt) -> str:

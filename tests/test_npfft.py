@@ -209,3 +209,48 @@ def test_grad_through_npfft(rng):
     xp[3, 5] += eps
     num = (float(loss(xp)) - float(loss(x))) / eps
     assert abs(num - float(g[3, 5])) / max(abs(num), 1e-6) < 5e-2
+
+
+def test_use_mesh_routes_distributed(rng):
+    """offt_tpu.fft.use_mesh: numpy one-liners run distributed — 1-D
+    rides the dist-1d engine, n-D the pencil pipeline; the context
+    restores single-device routing on exit."""
+    from offt_tpu.dist import make_mesh
+
+    x = (rng.standard_normal(4096)
+         + 1j * rng.standard_normal(4096)).astype(np.complex64)
+    c = (rng.standard_normal((16, 16, 16))
+         + 1j * rng.standard_normal((16, 16, 16))).astype(np.complex64)
+    mesh = make_mesh(2, 4)
+    with F.use_mesh(mesh):
+        # the cached plan must actually be a distributed one
+        p = F._plan_cached((1, 1, 4096), "complex64", False, False,
+                           None, 0)
+        assert p.mesh is mesh and p._shards is not None
+        got1 = np.asarray(F.fft(x))
+        rt = np.asarray(F.ifft(F.fft(x, norm="ortho"), norm="ortho"))
+        got3 = np.asarray(F.fftn(c))
+    w1 = np.fft.fft(x)
+    assert np.linalg.norm(got1 - w1) / np.linalg.norm(w1) < 1e-6
+    assert np.linalg.norm(rt - x) / np.linalg.norm(x) < 1e-6
+    w3 = np.fft.fftn(c)
+    assert np.linalg.norm(got3 - w3) / np.linalg.norm(w3) < 1e-6
+    # context exit restores the single-device default
+    assert F._MESH is None
+    p0 = F._plan_cached((1, 1, 4096), "complex64", False, False, None, 0)
+    assert p0.mesh is None
+
+
+def test_use_mesh_sticky_setter(rng):
+    from offt_tpu.dist import make_mesh
+
+    x = (rng.standard_normal(1024)
+         + 1j * rng.standard_normal(1024)).astype(np.complex64)
+    F.use_mesh(make_mesh(1, 8))
+    try:
+        got = np.asarray(F.fft(x))
+        w = np.fft.fft(x)
+        assert np.linalg.norm(got - w) / np.linalg.norm(w) < 1e-6
+    finally:
+        F.use_mesh(None)
+    assert F._MESH is None
