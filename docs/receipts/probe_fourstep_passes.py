@@ -61,10 +61,14 @@ def main():
         yr = jnp.real(y).reshape(1, n1, n2)
         return fence(yr, yr[0, :1, :1]), jnp.imag(y).reshape(1, n1, n2)
 
+    # sub-0.3-ms bodies underspread the default 4/44 pair through tunnel
+    # jitter (the CLAUDE.md k-pair trap — a first pass at 2^20 returned
+    # 0.0-ms artifacts); stretch the loop difference for small N
+    kw = {"k1": 8, "k2": 288} if N <= (1 << 21) else {}
     rows = []
     for name, body in (("step12", step1), ("step34", step3),
                        ("full", full), ("xla_fft", xla)):
-        t = time_fn_looped(jax.jit(body), (xr, xi))
+        t = time_fn_looped(jax.jit(body), (xr, xi), **kw)
         rows.append({"step": "fourstep_passes", "case": name, "n": int(N),
                      "t_ms": round(t * 1e3, 4)})
         print(json.dumps(rows[-1]), flush=True)
